@@ -1,0 +1,257 @@
+"""Tabulated-potential substrate: host-side table construction + on-device
+stacked table bank with vectorized interpolation.
+
+Semantics follow the reference's embedded pair_table machinery
+(``PairTable_UCGLD::compute_table`` /root/reference/UCG/pair_table_ucgld.cpp:1105-1344,
+``spline_table`` :1047-1065): tables are binned uniformly in r² between
+``inner²`` and ``cut²``; the stored ``f`` is f(r)/r so that the vector force is
+``fpair * (xi - xj)``.
+
+TPU-first difference: instead of one heap ``Table`` struct per table with
+per-pair pointer chasing, all tables of a pair style are stacked into dense
+``(T, L)`` device arrays; a per-pair interpolation is then a gather + FMA over
+whatever batch shape the caller provides (typically ``(N, K, 2, 2)`` with the
+state-combination axes trailing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_ucg_dev_tpu.core.state import pytree_dataclass
+from lammps_ucg_dev_tpu.io.table_io import RLINEAR, RSQ, BMP, RNONE, RawTable
+from lammps_ucg_dev_tpu.ops.spline import spline, splint
+
+LOOKUP, LINEAR, SPLINE, BITMAP = "lookup", "linear", "spline", "bitmap"
+
+_SECANT = 0.1
+
+
+@dataclasses.dataclass
+class BuiltTable:
+    """One table after spline fit + r²-binning (host, float64)."""
+
+    cut: float
+    innersq: float
+    delta: float
+    invdelta: float
+    deltasq6: float
+    e: np.ndarray
+    f: np.ndarray           # f(r)/r
+    de: np.ndarray | None = None
+    df: np.ndarray | None = None
+    e2: np.ndarray | None = None
+    f2: np.ndarray | None = None
+
+
+def spline_table(tb: RawTable):
+    """Fit e(r), f(r) splines over the raw input (spline_table, :1047-1065)."""
+    ep0 = -tb.f[0]
+    epn = -tb.f[-1]
+    e2file = spline(tb.r, tb.e, ep0, epn)
+    if tb.fpflag:
+        fplo, fphi = tb.fplo, tb.fphi
+    else:
+        fplo = (tb.f[1] - tb.f[0]) / (tb.r[1] - tb.r[0])
+        fphi = (tb.f[-1] - tb.f[-2]) / (tb.r[-1] - tb.r[-2])
+    f2file = spline(tb.r, tb.f, fplo, fphi)
+    return e2file, f2file, fplo, fphi
+
+
+def build_table(tb: RawTable, tabstyle: str, tablength: int, cut: float) -> BuiltTable:
+    """Bin one raw table in r² (compute_table, :1105-1245)."""
+    if tabstyle == BITMAP or tb.rflag == BMP:
+        raise NotImplementedError("BITMAP table style not supported yet")
+
+    if tb.ninput <= 1:
+        raise ValueError("Invalid pair table length")
+    rlo = tb.rlo if tb.rflag else tb.r[0]
+    rhi = tb.rhi if tb.rflag else tb.r[-1]
+    if cut <= rlo or cut > rhi:
+        raise ValueError(
+            f"Pair table cutoff {cut} outside of table range [{rlo}, {rhi}]"
+        )
+    if rlo <= 0.0:
+        raise ValueError("Invalid pair table lower boundary")
+
+    # match = don't respline when final r values equal file values (coeff, :818-822)
+    match = (
+        tabstyle == LINEAR
+        and tb.ninput == tablength
+        and tb.rflag == RSQ
+        and tb.rhi == cut
+    )
+
+    if not match:
+        e2file, f2file, fplo, fphi = spline_table(tb)
+
+    tlm1 = tablength - 1
+    inner = tb.rlo if tb.rflag else tb.r[0]
+    innersq = inner * inner
+    delta = (cut * cut - innersq) / tlm1
+    invdelta = 1.0 / delta
+
+    if tabstyle == LOOKUP:
+        rsq = innersq + (np.arange(tlm1) + 0.5) * delta
+        r = np.sqrt(rsq)
+        e = splint(tb.r, tb.e, e2file, r)
+        f = splint(tb.r, tb.f, f2file, r) / r
+        return BuiltTable(cut, innersq, delta, invdelta, 0.0, e, f)
+
+    rsq = innersq + np.arange(tablength) * delta
+    r = np.sqrt(rsq)
+    if match:
+        e = tb.e.copy()
+        f = tb.f / r
+    else:
+        e = splint(tb.r, tb.e, e2file, r)
+        f = splint(tb.r, tb.f, f2file, r)
+        if tabstyle == LINEAR:
+            f = f / r
+
+    if tabstyle == LINEAR:
+        de = np.zeros(tablength)
+        df = np.zeros(tablength)
+        de[:tlm1] = e[1:] - e[:-1]
+        df[:tlm1] = f[1:] - f[:-1]
+        return BuiltTable(cut, innersq, delta, invdelta, 0.0, e, f, de, df)
+
+    if tabstyle == SPLINE:
+        deltasq6 = delta * delta / 6.0
+        # e spline in r² with endpoint slopes de/d(r²) = -f / 2r (:1208-1214)
+        ep0 = -f[0] / (2.0 * np.sqrt(innersq))
+        epn = -f[tlm1] / (2.0 * cut)
+        e2 = spline(rsq, e, ep0, epn)
+
+        # f/r spline in r² with secant endpoint slopes (:1221-1241)
+        if tb.fpflag:
+            fp0 = (tb.fplo / np.sqrt(innersq) - f[0] / innersq) / (2.0 * np.sqrt(innersq))
+        else:
+            rsq1 = innersq
+            rsq2 = rsq1 + _SECANT * delta
+            fp0 = (
+                splint(tb.r, tb.f, f2file, np.sqrt(rsq2)) / np.sqrt(rsq2)
+                - f[0] / np.sqrt(rsq1)
+            ) / (_SECANT * delta)
+        if tb.fpflag and cut == tb.r[-1]:
+            fpn = (tb.fphi / cut - f[tlm1] / (cut * cut)) / (2.0 * cut)
+        else:
+            rsq2 = cut * cut
+            rsq1 = rsq2 - _SECANT * delta
+            fpn = (
+                f[tlm1] / np.sqrt(rsq2)
+                - splint(tb.r, tb.f, f2file, np.sqrt(rsq1)) / np.sqrt(rsq1)
+            ) / (_SECANT * delta)
+
+        fr = f / r
+        f2 = spline(rsq, fr, fp0, fpn)
+        return BuiltTable(cut, innersq, delta, invdelta, deltasq6, e, fr,
+                          e2=e2, f2=f2)
+
+    raise ValueError(f"Unknown table style {tabstyle!r}")
+
+
+@pytree_dataclass(meta_fields=("style", "nbins"))
+class TableBank:
+    """All tables of a pair style, stacked on device.
+
+    ``interp`` is the single hot primitive of the tabulated substrate: the four
+    interpolation modes of the reference's per-pair switch
+    (pair_table_ucgld.cpp:226-268) become one vectorized gather + FMA.
+    """
+
+    style: str
+    nbins: int            # number of stored entries per table
+    innersq: jax.Array    # (T,)
+    invdelta: jax.Array   # (T,)
+    delta: jax.Array      # (T,)
+    cutsq: jax.Array      # (T,)
+    deltasq6: jax.Array   # (T,)
+    e: jax.Array          # (T, L)
+    f: jax.Array          # (T, L)  — stores f(r)/r
+    de: jax.Array         # (T, L)
+    df: jax.Array         # (T, L)
+    e2: jax.Array         # (T, L) spline only (zeros otherwise)
+    f2: jax.Array         # (T, L)
+
+    @property
+    def n_tables(self) -> int:
+        return self.e.shape[0]
+
+    @staticmethod
+    def from_built(tables: list[BuiltTable], style: str, dtype=jnp.float32) -> "TableBank":
+        L = max(len(t.e) for t in tables)
+
+        def stack(get, fill=0.0):
+            out = np.full((len(tables), L), fill, dtype=np.float64)
+            for i, t in enumerate(tables):
+                a = get(t)
+                if a is None:
+                    continue
+                out[i, : len(a)] = a
+            return jnp.asarray(out, dtype=dtype)
+
+        return TableBank(
+            style=style,
+            nbins=L,
+            innersq=jnp.asarray([t.innersq for t in tables], dtype),
+            invdelta=jnp.asarray([t.invdelta for t in tables], dtype),
+            delta=jnp.asarray([t.delta for t in tables], dtype),
+            cutsq=jnp.asarray([t.cut * t.cut for t in tables], dtype),
+            deltasq6=jnp.asarray([t.deltasq6 for t in tables], dtype),
+            e=stack(lambda t: t.e),
+            f=stack(lambda t: t.f),
+            de=stack(lambda t: t.de),
+            df=stack(lambda t: t.df),
+            e2=stack(lambda t: t.e2),
+            f2=stack(lambda t: t.f2),
+        )
+
+    def interp(self, t: jax.Array, rsq: jax.Array):
+        """Interpolate (energy, f(r)/r) for table ids ``t`` at squared
+        distances ``rsq``. Any matching batch shapes.
+
+        Returns (e, fpair, oob_low, oob_high); out-of-range entries are
+        clamped to the boundary bin (the caller masks pairs beyond the pair
+        cutoff; oob flags surface the cases the reference treats as errors,
+        pair_table_ucgld.cpp:223-236).
+        """
+        inn = self.innersq[t]
+        invd = self.invdelta[t]
+        xbin = (rsq - inn) * invd
+        L = self.nbins
+
+        if self.style == LOOKUP:
+            it = jnp.clip(xbin.astype(jnp.int32), 0, L - 1)
+            e = self.e[t, it]
+            fp = self.f[t, it]
+            oob_hi = xbin >= L
+        elif self.style == LINEAR:
+            it = jnp.clip(xbin.astype(jnp.int32), 0, L - 2)
+            frac = xbin - it.astype(xbin.dtype)
+            e = self.e[t, it] + frac * self.de[t, it]
+            fp = self.f[t, it] + frac * self.df[t, it]
+            oob_hi = xbin >= (L - 1)
+        elif self.style == SPLINE:
+            it = jnp.clip(xbin.astype(jnp.int32), 0, L - 2)
+            b = xbin - it.astype(xbin.dtype)
+            a = 1.0 - b
+            d6 = self.deltasq6[t]
+            e = (
+                a * self.e[t, it] + b * self.e[t, it + 1]
+                + ((a * a * a - a) * self.e2[t, it] + (b * b * b - b) * self.e2[t, it + 1]) * d6
+            )
+            fp = (
+                a * self.f[t, it] + b * self.f[t, it + 1]
+                + ((a * a * a - a) * self.f2[t, it] + (b * b * b - b) * self.f2[t, it + 1]) * d6
+            )
+            oob_hi = xbin >= (L - 1)
+        else:
+            raise NotImplementedError(f"table style {self.style!r}")
+
+        oob_lo = rsq < inn
+        return e, fp, oob_lo, oob_hi
