@@ -1,0 +1,67 @@
+"""``fix ucgld/langevin`` — Langevin thermostat acting on λ only.
+
+Reference (/root/reference/UCG/fix_ucgld_langevin.cpp):
+    post_force:  ucgforce += γ1 v_λ + γ2 √T (uniform - 0.5)        (:273-296)
+    γ1 = -m_λ / period / ftm2v                                     (:165)
+    γ2 = √m_λ / ftm2v · √(24 k_B / (period · dt · mvv2e))          (:166-167)
+    (uniform noise with the √24 variance factor, NOT Gaussian)
+    temperature ramp T(t) = Tstart + (t-t0)/(t1-t0) (Tstop-Tstart) (:318-331)
+    end_of_step: λ-temperature = Σ m_λ v_λ² mvv2e / (k_B N)        (:303-312)
+
+Deviations (catalogued in SURVEY.md §7.4):
+  * the reference indexes ``ucgml`` by atom TYPE when building prefactors
+    (:165-166) although it is a per-atom quantity; we use the per-atom value
+    (identical whenever m_λ is uniform, which its indexing silently assumes).
+  * our λ-temperature is the global reduction (the reference reports the
+    per-rank value without an MPI reduce).
+  * counter-based ``jax.random`` streams make results independent of device
+    count (the reference's RanMars(seed+rank) is rank-count-dependent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from lammps_ucg_dev_tpu.core import units as units_mod
+from lammps_ucg_dev_tpu.core.state import SimState
+
+
+@dataclasses.dataclass(frozen=True)
+class LangevinCfg:
+    t_start: float
+    t_stop: float
+    t_period: float
+    seed: int = 1234
+    enabled: bool = True
+
+
+def t_target(cfg: LangevinCfg, step, beginstep, endstep):
+    """Linear temperature ramp over the run window (compute_target, :318-331)."""
+    span = jnp.maximum(endstep - beginstep, 1)
+    delta = jnp.where(endstep > beginstep,
+                      (step - beginstep).astype(jnp.float32) / span, 0.0)
+    return cfg.t_start + delta * (cfg.t_stop - cfg.t_start)
+
+
+def post_force(key: jax.Array, state: SimState, tT, dt: float,
+               u: units_mod.UnitSystem, cfg: LangevinCfg) -> jax.Array:
+    """Return the λ-force increment (drag + uniform random kick)."""
+    ml = state.ucgml
+    gamma1 = -ml / cfg.t_period / u.ftm2v
+    gamma2 = (
+        jnp.sqrt(ml) / u.ftm2v
+        * jnp.sqrt(24.0 * u.boltz / cfg.t_period / dt / u.mvv2e)
+        * jnp.sqrt(tT)
+    )
+    un = jax.random.uniform(key, state.ucgvl.shape, dtype=state.ucgvl.dtype)
+    return gamma1 * state.ucgvl + gamma2 * (un - 0.5)
+
+
+def lambda_temperature(state: SimState, u: units_mod.UnitSystem) -> jax.Array:
+    """T_λ with 1 dof per atom (end_of_step, :303-312), globally reduced."""
+    n = state.ucgvl.shape[0]
+    ek = 0.5 * jnp.sum(state.ucgml * state.ucgvl**2) * u.mvv2e
+    return ek / (0.5 * u.boltz * n)

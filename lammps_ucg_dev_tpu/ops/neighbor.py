@@ -1,0 +1,231 @@
+"""Fixed-shape neighbor lists for TPU.
+
+The reference inherits LAMMPS's binned neighbor lists with half/full variants
+and newton-on/off protocols (SURVEY.md §2.3).  The TPU-native formulation used
+throughout this framework is a **full** padded list (every atom sees all of its
+neighbors; newton-off semantics), which eliminates reverse scatter of pair
+tallies entirely — each atom owns its force, λ-force and softmax-score sums.
+
+Two builders:
+
+* ``nsq`` — O(N²) all-pairs (small systems / correctness oracle)
+* ``cell`` — O(N) binned: atoms are scattered into a capacity-padded cell grid,
+  candidates gathered from the 27-cell stencil, and compacted to a fixed
+  ``(N, K)`` index array.  Candidate evaluation is chunked over atoms with
+  ``lax.map`` so peak memory is ``chunk × 27·cell_capacity`` instead of
+  ``N × 27·cell_capacity``.
+
+Rebuild policy: the engine rebuilds on a fixed cadence (jit-friendly); a skin
+distance makes the list valid between rebuilds, and :func:`displacement_check`
+plus capacity-overflow flags surface violations for the host to act on
+(mirrors LAMMPS's "dangerous builds" diagnostic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_ucg_dev_tpu.core.state import Box, pytree_dataclass
+
+
+@pytree_dataclass(meta_fields=("capacity",))
+class NeighborList:
+    idx: jax.Array        # (N, K) int32; padded entries == N
+    x0: jax.Array         # (N, 3) positions at build time
+    overflow: jax.Array   # () bool — capacity exceeded somewhere (list invalid)
+    max_occupancy: jax.Array  # () int32 — max real neighbors seen
+    capacity: int
+
+    @property
+    def n_atoms(self) -> int:
+        return self.idx.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborSpec:
+    """Static neighbor-search configuration (host-side)."""
+
+    cutoff: float                  # largest interaction cutoff
+    skin: float = 0.3
+    capacity: int = 64             # K, max neighbors per atom
+    method: str = "cell"           # "cell" | "nsq"
+    cell_capacity: int = 32        # max atoms per cell
+    cells_per_side: tuple = ()     # computed at setup for "cell"
+    chunk: int = 4096              # atoms per lax.map chunk
+
+    @property
+    def rc(self) -> float:
+        return self.cutoff + self.skin
+
+
+def estimate_capacities(n_atoms: int, box_lengths, cutoff: float, skin: float,
+                        safety: float = 1.6):
+    """Heuristic (K, cell_capacity) from mean density."""
+    vol = float(np.prod(np.asarray(box_lengths, dtype=np.float64)))
+    rho = n_atoms / vol
+    rc = cutoff + skin
+    k = int(math.ceil(safety * rho * 4.0 / 3.0 * math.pi * rc**3)) + 4
+    cc = int(math.ceil(safety * rho * rc**3)) + 4
+    return k, cc
+
+
+def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.3,
+              method: str | None = None, capacity: int | None = None,
+              cell_capacity: int | None = None, chunk: int = 4096) -> NeighborSpec:
+    """Build a :class:`NeighborSpec`, choosing method and capacities."""
+    L = np.asarray(box_lengths, dtype=np.float64)
+    rc = cutoff + skin
+    cps = np.maximum(np.floor(L / rc).astype(int), 1)
+    if method is None:
+        method = "cell" if (np.all(cps >= 3) and n_atoms > 512) else "nsq"
+    if method == "cell" and np.any(cps < 3):
+        raise ValueError(
+            f"cell list needs >= 3 cells per side (got {tuple(cps)}); use nsq"
+        )
+    k_est, _ = estimate_capacities(n_atoms, L, cutoff, skin)
+    # cell capacity from the ACTUAL cell volume (cells are >= rc when the box
+    # doesn't divide evenly), with a Poisson-tail safety margin
+    vol = float(np.prod(L))
+    rho = n_atoms / vol
+    cell_vol = float(np.prod(L / np.maximum(cps, 1)))
+    mean_occ = rho * cell_vol
+    cc_est = int(math.ceil(mean_occ + 6.0 * math.sqrt(max(mean_occ, 1.0)) + 8))
+    return NeighborSpec(
+        cutoff=cutoff,
+        skin=skin,
+        capacity=capacity if capacity is not None else k_est,
+        method=method,
+        cell_capacity=cell_capacity if cell_capacity is not None else cc_est,
+        cells_per_side=tuple(int(c) for c in cps) if method == "cell" else (),
+        chunk=chunk,
+    )
+
+
+def _compact_topk(cand: jax.Array, mask: jax.Array, k: int, n: int):
+    """Select up to k valid candidates per row; pad with n. Returns (idx, count)."""
+    # stable sort: valid entries (mask True -> key 0) first
+    keys = jnp.where(mask, 0, 1).astype(jnp.int32)
+    order = jnp.argsort(keys, axis=1, stable=True)
+    cand_sorted = jnp.take_along_axis(cand, order, axis=1)[:, :k]
+    mask_sorted = jnp.take_along_axis(mask, order, axis=1)[:, :k]
+    idx = jnp.where(mask_sorted, cand_sorted, n)
+    count = jnp.sum(mask, axis=1)
+    return idx, count
+
+
+def build_nsq(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
+    """All-pairs builder (correctness oracle, small N)."""
+    n = x.shape[0]
+    dr = box.min_image(x[:, None, :] - x[None, :, :])
+    rsq = jnp.sum(dr * dr, axis=-1)
+    rc2 = jnp.asarray(spec.rc**2, x.dtype)
+    mask = (rsq < rc2) & ~jnp.eye(n, dtype=bool)
+    cand = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
+    idx, count = _compact_topk(cand, mask, spec.capacity, n)
+    mx = jnp.max(count).astype(jnp.int32)
+    return NeighborList(
+        idx=idx.astype(jnp.int32),
+        x0=x,
+        overflow=mx > spec.capacity,
+        max_occupancy=mx,
+        capacity=spec.capacity,
+    )
+
+
+def _cell_index(x: jax.Array, box: Box, cps: np.ndarray):
+    """Per-atom flat cell index on the static grid."""
+    cps_a = jnp.asarray(cps, jnp.int32)
+    frac = (x - box.lo) / box.lengths
+    # atoms are assumed wrapped; clip guards the open boundary edge case
+    c3 = jnp.clip((frac * cps_a).astype(jnp.int32), 0, cps_a - 1)
+    return (c3[:, 0] * cps[1] + c3[:, 1]) * cps[2] + c3[:, 2], c3
+
+
+def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
+    """Binned builder with 27-cell stencil, chunked candidate evaluation."""
+    n = x.shape[0]
+    cps = np.asarray(spec.cells_per_side, dtype=np.int64)
+    ncells = int(np.prod(cps))
+    C = spec.cell_capacity
+    K = spec.capacity
+
+    cid, c3 = _cell_index(x, box, cps)
+
+    # scatter atoms into (ncells, C) via sort + rank-within-cell
+    order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+    sorted_cid = cid[order]
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    cell_overflow = jnp.max(rank) >= C
+    cell_atoms = jnp.full((ncells, C), n, dtype=jnp.int32)
+    cell_atoms = cell_atoms.at[sorted_cid, jnp.clip(rank, 0, C - 1)].set(order)
+
+    # static 27-neighbor stencil
+    offs = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                     for k in (-1, 0, 1)], dtype=np.int64)
+    rc2 = jnp.asarray(spec.rc**2, x.dtype)
+
+    # pad atoms to a multiple of chunk; sentinel rows point at cell 0 but are
+    # discarded afterwards
+    chunk = min(spec.chunk, n)
+    n_pad = int(-(-n // chunk) * chunk)
+    pad = n_pad - n
+    c3_p = jnp.pad(c3, ((0, pad), (0, 0)))
+    x_p = jnp.pad(x, ((0, pad), (0, 0)))
+    self_p = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad), constant_values=n)
+
+    cps_a = jnp.asarray(cps, jnp.int32)
+
+    def per_chunk(args):
+        c3_c, x_c, self_c = args   # (chunk,3), (chunk,3), (chunk,)
+        # (chunk, 27, 3) neighbor cell coords with periodic wrap
+        nc3 = (c3_c[:, None, :] + jnp.asarray(offs, jnp.int32)[None, :, :]) % cps_a
+        ncid = (nc3[..., 0] * cps[1] + nc3[..., 1]) * cps[2] + nc3[..., 2]
+        cand = cell_atoms[ncid].reshape(c3_c.shape[0], 27 * C)     # (chunk, 27C)
+        xj = jnp.take(x, jnp.clip(cand, 0, n - 1), axis=0)
+        dr = box.min_image(x_c[:, None, :] - xj)
+        rsq = jnp.sum(dr * dr, axis=-1)
+        mask = (cand != n) & (cand != self_c[:, None]) & (rsq < rc2)
+        return _compact_topk(cand, mask, K, n)
+
+    idx_c, count_c = jax.lax.map(
+        per_chunk,
+        (c3_p.reshape(-1, chunk, 3), x_p.reshape(-1, chunk, 3),
+         self_p.reshape(-1, chunk)),
+    )
+    idx = idx_c.reshape(n_pad, K)[:n]
+    count = count_c.reshape(n_pad)[:n]
+    mx = jnp.max(count).astype(jnp.int32)
+    return NeighborList(
+        idx=idx.astype(jnp.int32),
+        x0=x,
+        overflow=cell_overflow | (mx > K),
+        max_occupancy=mx,
+        capacity=K,
+    )
+
+
+def build(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
+    if spec.method == "nsq":
+        return build_nsq(x, box, spec)
+    if spec.method == "cell":
+        return build_cell(x, box, spec)
+    raise ValueError(f"unknown neighbor method {spec.method!r}")
+
+
+def displacement_check(nbr: NeighborList, x: jax.Array, box: Box,
+                       skin: float) -> jax.Array:
+    """True if any atom moved more than skin/2 since the last build (list may
+    miss pairs — LAMMPS 'dangerous build' condition)."""
+    dr = box.min_image(x - nbr.x0)
+    return jnp.max(jnp.sum(dr * dr, axis=-1)) > (0.5 * skin) ** 2
+
+
+def neighbor_mask(nbr: NeighborList):
+    """(N, K) bool of real entries."""
+    return nbr.idx < nbr.n_atoms

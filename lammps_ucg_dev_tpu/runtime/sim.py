@@ -1,0 +1,241 @@
+"""The MD driver: TPU-native equivalent of ``Verlet::run`` + ``Modify``
+callbacks (SURVEY.md §3.1).
+
+One timestep =
+    initial_integrate (fix nve/ucgld[/wall/hard])       fix_nve_ucgld.cpp:44
+    [reneighbor at block cadence]
+    force_clear + pair compute                          pair_table_*.cpp
+    post_force fixes in order:
+        ucgld/langevin (λ drag + kick)                  fix_ucgld_langevin.cpp:202
+        wall/hard bias (optional)                       fix_nve_ucgld_wall_hard.cpp:241
+        ucgstate (posteriors / state assignment)        fix_ucgstate.cpp:88
+    final_integrate                                     fix_nve_ucgld.cpp:104
+    end_of_step (λ-temperature)                         fix_ucgld_langevin.cpp:303
+
+The whole inner block (reneigh_every steps) is one ``lax.scan`` under ``jit``;
+neighbor rebuild + position wrapping happen at block boundaries, also under
+``jit``.  Zero host round-trips inside a block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_ucg_dev_tpu.core import units as units_mod
+from lammps_ucg_dev_tpu.core.state import ForceOut, SimState, System
+from lammps_ucg_dev_tpu.fixes import integrate as fi
+from lammps_ucg_dev_tpu.fixes import langevin as fl
+from lammps_ucg_dev_tpu.fixes import ucgstate as fs
+from lammps_ucg_dev_tpu.ops import neighbor as nbrmod
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    dt: float
+    units: str = "lj"
+    integrator: fi.IntegratorCfg = fi.IntegratorCfg()
+    langevin: fl.LangevinCfg | None = None
+    ucgstate: fs.UCGStateCfg | None = None
+    reneigh_every: int = 10
+    check_safety: bool = True     # fetch overflow/danger flags every block
+
+    @property
+    def u(self) -> units_mod.UnitSystem:
+        return units_mod.get(self.units)
+
+    @property
+    def kT(self) -> float:
+        """Thermostat target kT seen by pair styles at init
+        (pair init_style pulls t_target; pair_table_ucgld.cpp:872-881)."""
+        if self.langevin is not None:
+            return self.u.boltz * self.langevin.t_start
+        return 0.0
+
+
+class Simulation:
+    """Assembles state + pair style + fixes into a jitted stepper.
+
+    ``pair_compute(state, nbr, params) -> ForceOut`` is the pair-style entry;
+    params is a pytree passed through jit.
+    """
+
+    def __init__(
+        self,
+        system: System,
+        state: SimState,
+        pair_compute: Callable,
+        pair_params: Any,
+        nbr_spec: nbrmod.NeighborSpec,
+        cfg: SimConfig,
+        extra_post_force: Callable | None = None,
+    ):
+        self.system = system
+        self.state = state
+        self.pair_compute = pair_compute
+        self.pair_params = pair_params
+        self.nbr_spec = nbr_spec
+        self.cfg = cfg
+        self.extra_post_force = extra_post_force
+        self._mass = system.mass_per_atom(state.typ, dtype=state.x.dtype)
+        self._fcarry: ForceOut | None = None
+        self._nbr = None
+        self._block = jax.jit(
+            partial(self._block_impl), static_argnames=("nsteps",)
+        )
+        self.thermo_rows: list[dict] = []
+        self.dangerous_builds = 0
+
+    # ---- one force evaluation + post-force fixes -------------------------
+
+    def _forces(self, state: SimState, nbr, run_window):
+        cfg = self.cfg
+        u = cfg.u
+        fout = self.pair_compute(state, nbr, self.pair_params)
+
+        key = state.key
+        ucgforce = fout.ucgforce
+        if cfg.langevin is not None and cfg.langevin.enabled:
+            key, sub = jax.random.split(key)
+            tT = fl.t_target(cfg.langevin, state.step, run_window[0], run_window[1])
+            ucgforce = ucgforce + fl.post_force(sub, state, tT, cfg.dt, u, cfg.langevin)
+        if cfg.integrator.wall and cfg.integrator.bias_potential:
+            ucgforce = ucgforce + fi.bias_force(state.ucgl, cfg.integrator.barrier)
+        if self.extra_post_force is not None:
+            state, ucgforce = self.extra_post_force(state, ucgforce, fout)
+
+        if cfg.ucgstate is not None and cfg.ucgstate.enabled:
+            key, sub = jax.random.split(key)
+            is_ucg = self._is_ucg(state)
+            state = fs.post_force(sub, state, fout.scores, is_ucg, cfg.ucgstate)
+        elif fout.ucgp is not None:
+            state = dataclasses.replace(state, ucgp=fout.ucgp)
+
+        state = dataclasses.replace(state, key=key)
+        fout = dataclasses.replace(fout, ucgforce=ucgforce)
+        return state, fout
+
+    def _is_ucg(self, state: SimState):
+        tp = getattr(self.pair_params, "tp", None)
+        if tp is None:
+            return jnp.ones(state.n_atoms, dtype=bool)
+        return tp.n_states[state.typ] > 1
+
+    # ---- one jitted block: reneighbor + nsteps of Verlet ------------------
+
+    def _block_impl(self, state: SimState, fcarry: ForceOut, run_window,
+                    nsteps: int):
+        cfg = self.cfg
+        x_w, image = state.box.wrap(state.x, state.image)
+        state = dataclasses.replace(state, x=x_w, image=image)
+        nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
+
+        def body(carry, _):
+            state, fout = carry
+            state = fi.initial_integrate(
+                state, fout.f, fout.ucgforce, self._mass, cfg.dt, cfg.u.ftm2v,
+                cfg.integrator,
+            )
+            state, fout = self._forces(state, nbr, run_window)
+            state = fi.final_integrate(
+                state, fout.f, fout.ucgforce, self._mass, cfg.dt, cfg.u.ftm2v,
+                cfg.integrator,
+            )
+            state = dataclasses.replace(state, step=state.step + 1)
+            return (state, fout), None
+
+        (state, fout), _ = jax.lax.scan(body, (state, fcarry), None, length=nsteps)
+        danger = nbrmod.displacement_check(nbr, state.x, state.box, self.nbr_spec.skin)
+        return state, fout, nbr.overflow, nbr.max_occupancy, danger
+
+    # ---- setup (Verlet::setup analogue) ----------------------------------
+
+    def setup(self, run_window=(0, 0)):
+        state = self.state
+        x_w, image = state.box.wrap(state.x, state.image)
+        state = dataclasses.replace(state, x=x_w, image=image)
+        nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
+        if bool(nbr.overflow):
+            raise RuntimeError(
+                f"neighbor capacity exceeded at setup (max occupancy "
+                f"{int(nbr.max_occupancy)} > {self.nbr_spec.capacity})"
+            )
+        state, fout = jax.jit(self._forces)(state, nbr, jnp.asarray(run_window))
+        self.state = state
+        self._fcarry = fout
+        self._nbr = nbr
+        return fout
+
+    # ---- host-side run loop ----------------------------------------------
+
+    def run(self, nsteps: int, thermo_every: int = 0,
+            thermo_callback: Callable | None = None):
+        cfg = self.cfg
+        begin = int(self.state.step)
+        end = begin + nsteps
+        run_window = jnp.asarray([begin, end])
+        if self._fcarry is None:
+            self.setup((begin, end))
+
+        done = 0
+        while done < nsteps:
+            todo = min(cfg.reneigh_every, nsteps - done)
+            state, fout, overflow, maxocc, danger = self._block(
+                self.state, self._fcarry, run_window, nsteps=todo
+            )
+            self.state, self._fcarry = state, fout
+            done += todo
+            if cfg.check_safety:
+                if bool(overflow):
+                    raise RuntimeError(
+                        f"neighbor capacity exceeded (max occupancy "
+                        f"{int(maxocc)} > {self.nbr_spec.capacity})"
+                    )
+                if bool(danger):
+                    self.dangerous_builds += 1
+            if thermo_every and (done % thermo_every == 0 or done == nsteps):
+                row = self.thermo()
+                self.thermo_rows.append(row)
+                if thermo_callback:
+                    thermo_callback(row)
+        return self.state
+
+    # ---- observables ------------------------------------------------------
+
+    def thermo(self) -> dict:
+        state, fout = self.state, self._fcarry
+        u = self.cfg.u
+        n = state.n_atoms
+        ke = 0.5 * float(jnp.sum(self._mass * jnp.sum(state.v**2, axis=-1))) * u.mvv2e
+        dof = max(3 * n - 3, 1)
+        temp = 2.0 * ke / (dof * u.boltz)
+        pe = float(fout.pe)
+        if self.cfg.integrator.wall and self.cfg.integrator.bias_potential:
+            pe_bias = float(jnp.sum(jnp.where(
+                self._is_ucg(state),
+                fi.bias_energy(state.ucgl, self.cfg.integrator.barrier), 0.0)))
+        else:
+            pe_bias = 0.0
+        ke_lambda = 0.5 * float(jnp.sum(state.ucgml * state.ucgvl**2)) * u.mvv2e
+        vol = float(jnp.prod(state.box.lengths))
+        virial_tr = float(fout.virial[0] + fout.virial[1] + fout.virial[2])
+        press = (2.0 * ke + virial_tr) / (3.0 * vol) * u.nktv2p
+        row = {
+            "step": int(state.step),
+            "temp": temp,
+            "pe": pe + pe_bias,
+            "ke": ke,
+            "ke_lambda": ke_lambda,
+            "lambda_temp": float(fl.lambda_temperature(state, u)),
+            "etotal": ke + pe + pe_bias + ke_lambda,
+            "press": press,
+        }
+        if fout.oob_low is not None:
+            row["oob_low"] = int(fout.oob_low)
+            row["oob_high"] = int(fout.oob_high)
+        return row
