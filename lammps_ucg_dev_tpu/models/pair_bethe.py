@@ -1,0 +1,204 @@
+"""``pair_style table_ucg_bethe`` — self-consistent two-state UCG with the
+Bethe (pair) approximation.
+
+Physics (PairTable_UCG_Bethe::compute, /root/reference/UCG/pair_table_ucg_bethe.cpp:88-630):
+
+* per-atom priors: from the previous step's self-consistent probabilities
+  (pi1 = ucgl_i for the i-role, pj1 = ucgp_j for the j-role, :199-253) or, on
+  the first evaluation (``ucgp < -0.999`` sentinel), from chemical potentials
+  (± uniform noise) or ucgl, per the ``prior`` flag (:179-253).
+* closed-form Bethe two-point distribution (:544-581):
+      J   = u11 + u00 - u01 - u10
+      b   = exp(-J/kT),  a = expm1(-J/kT)
+      Q   = (pi1 + pj1) a + 1
+      D   = max(Q² - 4 a b pi1 pj1, 0)
+      p11 = 2 b pi1 pj1 / (Q + √D)     (or (Q-√D)/2a if Q<0; pi1·pj1 if |a|<ε
+                                        or ``method mf``)
+      p00 = 1 + p11 - pi1 - pj1 ;  p10 = pi1 - p11 ;  p01 = pj1 - p11
+* mixed energy/force = Σ p_ss' u_ss' (:603-604); no dU/dp force term because
+  p11 satisfies the variational principle (:510-511 analog).
+* softmax scores: chemical-potential init (:155-162); pseudolikelihood tallies
+  at current discrete states (``pseudo yes``, :526-539) or full-SCE conditional
+  expectations (``pseudo no``, :583-601).
+* overflow guard: J/kT < -709 → clamp to -700 kT (:545-548).
+
+TPU-native notes:
+* The Bethe closed form degenerates exactly to the reference's scenarios 1-3
+  when either partner is single-state (prior weight [1, 0] ⇒ p11 = p10 = 0),
+  so the whole pair loop is ONE vectorized kernel — no scenario branching.
+* Full-list per-atom-owned tallies (each directed pair contributes to i only);
+  equal to the half-list + reverse-comm totals whenever ucgl == ucgp, which
+  fix ucgstate enforces every step (transient first-step orderings differ at
+  the level of the reference's arbitrary pair ordering).
+
+Intentional deviations (catalogued, SURVEY.md §7.4): scenario-2 stale-``si``
+stash fixed (:373-374); the full-SCE conditional expectations use the correct
+u-pairing score_i[s] -= Σ_s' p(s'|s) u(s,s')/kT (the reference's coefficient
+pairing at :585-599 mixes conditionals across states).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from lammps_ucg_dev_tpu.core.state import ForceOut, SimState, pytree_dataclass
+from lammps_ucg_dev_tpu.models import common
+from lammps_ucg_dev_tpu.models.typemap import UCGTypeParams
+from lammps_ucg_dev_tpu.ops.neighbor import NeighborList
+from lammps_ucg_dev_tpu.ops.table import TableBank
+
+_EPSILONE = 1.0e-6
+
+
+@pytree_dataclass(meta_fields=("method", "pseudo", "prior_mode"))
+class BetheParams:
+    bank: TableBank
+    tp: UCGTypeParams
+    kT: jax.Array
+    prior_ptype: jax.Array     # (T+1, 2) Boltzmann priors from chem potentials
+                               # (init_style, :1056-1077)
+    noise_level: jax.Array     # scalar
+    method: str = "bethe"      # "bethe" | "mf"
+    pseudo: bool = True        # pseudolikelihood vs full-SCE scores
+    prior_mode: str = "ucgl"   # "ucgl" | "chemical_potential" | "chemical_potential_noise"
+
+
+def make_params(bank: TableBank, tp: UCGTypeParams, kT: float,
+                method: str = "bethe", pseudo: bool = True,
+                prior_mode: str = "ucgl", noise_level: float = 0.0,
+                dtype=jnp.float32) -> BetheParams:
+    """Precompute per-type Boltzmann priors (init_style, :1056-1077)."""
+    mu0 = tp.mu[tp.formal[:, 0]]
+    mu1 = tp.mu[tp.formal[:, 1]]
+    e0 = jnp.exp(-mu0 / kT)
+    e1 = jnp.exp(-mu1 / kT)
+    p0 = jnp.where(tp.n_states > 1, e0 / (e0 + e1), 1.0)
+    prior_ptype = jnp.stack([p0, 1.0 - p0], axis=-1).astype(dtype)
+    return BetheParams(
+        bank=bank, tp=tp, kT=jnp.asarray(kT, dtype),
+        prior_ptype=prior_ptype, noise_level=jnp.asarray(noise_level, dtype),
+        method=method, pseudo=pseudo, prior_mode=prior_mode,
+    )
+
+
+def _priors(state: SimState, params: BetheParams):
+    """(prior_i1, prior_j1): P(state=1) for the i-role (from ucgl) and the
+    j-role (from ucgp); sentinel atoms use the prior flag (:179-253)."""
+    tp = params.tp
+    typ = state.typ
+    is_ucg = tp.n_states[typ] > 1
+    unassigned = state.ucgp < -0.999
+
+    if params.prior_mode == "chemical_potential":
+        p1_flag = params.prior_ptype[typ, 1]
+    elif params.prior_mode == "chemical_potential_noise":
+        key = jax.random.fold_in(state.key, 0x5EED)
+        u = jax.random.uniform(key, typ.shape, dtype=state.ucgl.dtype)
+        noise = (u - 0.5) * 2.0 * params.noise_level
+        p0 = jnp.clip(params.prior_ptype[typ, 0] + noise, 0.0, 0.999999)
+        p1_flag = 1.0 - p0
+    elif params.prior_mode == "ucgl":
+        p1_flag = state.ucgl
+    else:
+        raise ValueError(f"unknown prior mode {params.prior_mode!r}")
+
+    pi1 = jnp.where(unassigned, p1_flag, state.ucgl)
+    pj1 = jnp.where(unassigned, p1_flag, state.ucgp)
+    pi1 = jnp.where(is_ucg, pi1, 0.0)
+    pj1 = jnp.where(is_ucg, pj1, 0.0)
+    return pi1, pj1
+
+
+def bethe_pij(u4: jax.Array, pi1: jax.Array, pj1: jax.Array, kT,
+              method: str = "bethe"):
+    """Closed-form Bethe two-point distribution (:544-581).
+
+    u4: (..., 2, 2) state-pair energies; pi1/pj1 broadcastable to u4[..., 0, 0].
+    Returns p4 (..., 2, 2) with axes [si, sj].
+    """
+    J = u4[..., 1, 1] + u4[..., 0, 0] - u4[..., 0, 1] - u4[..., 1, 0]
+    J = jnp.maximum(J, -700.0 * kT)                    # overflow guard (:545-548)
+    x = -J / kT
+    b = jnp.exp(x)
+    a = jnp.expm1(x)
+
+    if method == "mf":
+        p11 = pi1 * pj1
+    else:
+        Q = (pi1 + pj1) * a + 1.0
+        D = jnp.maximum(Q * Q - 4.0 * a * b * pi1 * pj1, 0.0)
+        sqD = jnp.sqrt(D)
+        # numerically-stable root selection (:564-577)
+        root_pos = 2.0 * b * pi1 * pj1 / (Q + sqD)
+        root_neg = (Q - sqD) / (2.0 * jnp.where(jnp.abs(a) < _EPSILONE, 1.0, a))
+        p11 = jnp.where(Q < 0.0, root_neg, root_pos)
+        p11 = jnp.where(jnp.abs(a) < _EPSILONE, pi1 * pj1, p11)
+
+    p00 = 1.0 + p11 - pi1 - pj1
+    p10 = pi1 - p11
+    p01 = pj1 - p11
+    return jnp.stack(
+        [jnp.stack([p00, p01], axis=-1), jnp.stack([p10, p11], axis=-1)],
+        axis=-2,
+    )
+
+
+def compute(state: SimState, nbr: NeighborList, params: BetheParams) -> ForceOut:
+    x, typ = state.x, state.typ
+    bank, tp = params.bank, params.tp
+    kT = params.kT
+
+    jc, valid, dr, rsq = common.pair_geometry(x, state.box, nbr)
+    ti = typ[:, None]
+    tj = typ[jc]
+    within = valid & (rsq < tp.cutsq[ti, tj])
+
+    e4, fp4, oob_lo, oob_hi = common.eval_state_block(bank, tp, ti, tj, rsq, within)
+
+    pi1, pj1 = _priors(state, params)
+    p4 = bethe_pij(e4, pi1[:, None], pj1[jc], kT, params.method)
+    p4 = jnp.where(within[..., None, None], p4, 0.0)
+
+    emix = jnp.sum(p4 * e4, axis=(-1, -2))
+    fmix = jnp.sum(p4 * fp4, axis=(-1, -2))
+
+    f = jnp.sum(fmix[..., None] * dr, axis=1)
+    pe = 0.5 * jnp.sum(emix)
+    virial = common.pair_virial(fmix, dr)
+
+    # ---- softmax scores ---------------------------------------------------
+    is_ucg = tp.n_states[typ] > 1
+    is_ucg_j = (tp.n_states[tj] > 1) & within
+
+    if params.pseudo:
+        # pseudolikelihood at current discrete neighbor states (:526-539);
+        # UCG-nonUCG pairs use jstate = 0, identical to the reference's
+        # ungated scenario-3 tallies (:443-447)
+        jstate = jnp.where(within, state.ucgstate[jc], 0)
+        u_at_js = jnp.take_along_axis(
+            e4, jstate[:, :, None, None].astype(jnp.int32), axis=3
+        )[..., 0]                                       # (N, K, 2)
+        pair_scores = -u_at_js / kT
+    else:
+        # full-SCE: score_i[s] -= Σ_s' p(s'|s) u(s, s') / kT for UCG-UCG
+        # pairs (:583-601, intended conditional pairing); scenario-3 style
+        # pseudolikelihood tallies for UCG-nonUCG pairs (:443-447)
+        pi = jnp.stack([1.0 - pi1, pi1], axis=-1)[:, None, :, None]   # (N,1,2,1)
+        cond = p4 / jnp.maximum(pi, _EPSILONE)          # p(sj | si)
+        sce = -jnp.sum(cond * e4, axis=3) / kT          # (N, K, 2)
+        plain = -e4[..., 0] / kT                        # partner single-state
+        pair_scores = jnp.where(is_ucg_j[..., None], sce, plain)
+
+    scores = jnp.sum(jnp.where(within[..., None], pair_scores, 0.0), axis=1)
+    # chemical-potential initialization (:155-162)
+    mu_i = params.tp.mu[tp.formal[typ]]                 # (N, 2)
+    scores = scores - mu_i / kT
+    scores = jnp.where(is_ucg[:, None], scores, 0.0)
+
+    return ForceOut(
+        f=f, ucgforce=jnp.zeros_like(pi1), scores=scores, pe=pe,
+        virial=virial, oob_low=oob_lo, oob_high=oob_hi,
+    )

@@ -163,6 +163,105 @@ def oracle_ucgld(x, typ, ucgl, ucgstate, L, st, tables_eval, cutsq, kT, mu):
     return {"f": f, "ucgforce": ucgf, "scores": scores, "pe": pe}
 
 
+def bethe_pij_scalar(u, pi1, pj1, kT, method="bethe"):
+    """Scalar Bethe closed form (pair_table_ucg_bethe.cpp:544-581)."""
+    import math
+
+    J = u[1, 1] + u[0, 0] - u[0, 1] - u[1, 0]
+    if J / kT < -709.0:
+        J = -700.0 * kT
+    b = math.exp(-J / kT)
+    a = math.expm1(-J / kT)
+    if method == "mf" or abs(a) < 1e-6:
+        p11 = pi1 * pj1
+    else:
+        Q = (pi1 + pj1) * a + 1.0
+        D = max(Q * Q - 4.0 * a * b * pi1 * pj1, 0.0)
+        if Q < 0.0:
+            p11 = (Q - math.sqrt(D)) / (2.0 * a)
+        else:
+            p11 = 2.0 * b * pi1 * pj1 / (Q + math.sqrt(D))
+    p00 = 1.0 + p11 - pi1 - pj1
+    p10 = pi1 - p11
+    p01 = pj1 - p11
+    return np.array([[p00, p01], [p10, p11]])
+
+
+def oracle_bethe(x, typ, ucgl, ucgp, ucgstate, L, st, tables_eval, cutsq, kT,
+                 mu, method="bethe", pseudo=True):
+    """Half-list oracle for pair_table_ucg_bethe.cpp:88-630 (intended physics:
+    sj-keyed scenario-2 mixing; correct SCE conditional pairing).
+    Assumes all ucgp are assigned (no first-step sentinel)."""
+    n = len(x)
+    f = np.zeros((n, 3))
+    scores = np.zeros((n, 2))
+    pe = 0.0
+    nstate = st.n_states_per_type
+    formal = st.formal_from_actual
+
+    # chemical-potential score init (:155-162)
+    for i in range(n):
+        t = typ[i]
+        if nstate[t] > 1:
+            for s in range(2):
+                scores[i][s] -= mu[formal[t][s]] / kT
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = x[i] - x[j]
+            d -= L * np.round(d / L)
+            rsq = float(np.dot(d, d))
+            ti, tj = typ[i], typ[j]
+            if rsq >= cutsq[ti][tj]:
+                continue
+            nsi, nsj = nstate[ti], nstate[tj]
+            u = np.zeros((2, 2))
+            fp = np.zeros((2, 2))
+            for si in range(nsi):
+                for sj in range(nsj):
+                    e_, f_ = tables_eval(formal[ti][si], formal[tj][sj], rsq)
+                    u[si, sj] = e_
+                    fp[si, sj] = f_
+            pi1 = ucgl[i] if nsi > 1 else 0.0
+            pj1 = ucgp[j] if nsj > 1 else 0.0
+            if nsi == 1 and nsj == 1:
+                fpair, evdwl = fp[0, 0], u[0, 0]
+            elif nsi == 1 and nsj > 1:
+                fpair = (1 - pj1) * fp[0, 0] + pj1 * fp[0, 1]
+                evdwl = (1 - pj1) * u[0, 0] + pj1 * u[0, 1]
+                for sj in range(nsj):
+                    scores[j][sj] -= u[0, sj] / kT
+            elif nsi > 1 and nsj == 1:
+                fpair = (1 - pi1) * fp[0, 0] + pi1 * fp[1, 0]
+                evdwl = (1 - pi1) * u[0, 0] + pi1 * u[1, 0]
+                for si in range(nsi):
+                    scores[i][si] -= u[si, 0] / kT
+            else:
+                p = bethe_pij_scalar(u, pi1, pj1, kT, method)
+                evdwl = float(np.sum(p * u))
+                fpair = float(np.sum(p * fp))
+                if pseudo:
+                    for si in range(2):
+                        scores[i][si] -= u[si, ucgstate[j]] / kT
+                    for sj in range(2):
+                        scores[j][sj] -= u[ucgstate[i], sj] / kT
+                else:
+                    pi_m = np.array([1 - pi1, pi1])
+                    pj_m = np.array([1 - pj1, pj1])
+                    for si in range(2):
+                        scores[i][si] -= sum(
+                            p[si, sj] / max(pi_m[si], 1e-6) * u[si, sj]
+                            for sj in range(2)) / kT
+                    for sj in range(2):
+                        scores[j][sj] -= sum(
+                            p[si, sj] / max(pj_m[sj], 1e-6) * u[si, sj]
+                            for si in range(2)) / kT
+            f[i] += d * fpair
+            f[j] -= d * fpair
+            pe += evdwl
+    return {"f": f, "scores": scores, "pe": pe}
+
+
 def make_tables_eval(bank):
     """Adapter: evaluate the device TableBank on formal pairs via a host map
     (LINEAR interpolation replicated in NumPy for exactness)."""
