@@ -181,3 +181,67 @@ class TablePairBuilder:
     @property
     def max_cutoff(self) -> float:
         return max(t.cut for t in self.tables)
+
+
+@dataclasses.dataclass
+class RLEUCGBuilder:
+    """Stock single-table ``pair_coeff`` assembly over SUBSTATE types for
+    ``table_rleucg_interface`` (P4), where atom types enumerate substates
+    (PairTable_RLEUCG_INTERFACE::coeff,
+    /root/reference/UCG/pair_table_rleucg_interface.cpp:672-744)."""
+
+    tabstyle: str
+    tablength: int
+    settings: StateSettings   # rleucg dialect
+
+    def __post_init__(self):
+        S = self.settings.n_formal_types       # total substate types
+        self.tables: list[BuiltTable] = []
+        self.tabindex = np.full((S + 1, S + 1), -1, dtype=np.int64)
+
+    def pair_coeff(self, ispec, jspec, table, cut: float):
+        S = self.settings.n_formal_types
+        ilo, ihi = _parse_bounds(ispec, S)
+        jlo, jhi = _parse_bounds(jspec, S)
+        if isinstance(table, tuple):
+            table = read_table_file(*table)
+        built = build_table(table, self.tabstyle, self.tablength, float(cut))
+        tid = len(self.tables)
+        self.tables.append(built)
+        count = 0
+        for i in range(ilo, ihi + 1):
+            for j in range(max(jlo, i), jhi + 1):
+                self.tabindex[i, j] = tid
+                self.tabindex[j, i] = tid
+                count += 1
+        if count == 0:
+            raise ValueError("Illegal pair_coeff command")
+
+    def build(self, dtype=jnp.float32):
+        """Returns (bank, tabSS, cutsq) where tabSS[i, j, si, sj] maps base
+        substate types + state offsets to table ids."""
+        st = self.settings
+        S = st.n_formal_types
+        Smax = int(st.max_states)
+        if np.any(self.tabindex[1:, 1:] < 0):
+            missing = np.argwhere(self.tabindex[1:, 1:] < 0)[0] + 1
+            raise ValueError(f"All pair coeffs are not set: pair {tuple(missing)}")
+
+        tabSS = np.zeros((S + 1, S + 1, Smax, Smax), dtype=np.int64)
+        for i in range(1, S + 1):
+            for j in range(1, S + 1):
+                for si in range(Smax):
+                    for sj in range(Smax):
+                        a = min(i + si, S)
+                        b = min(j + sj, S)
+                        tabSS[i, j, si, sj] = self.tabindex[a, b]
+        cuts = np.array([t.cut for t in self.tables])
+        cutsq = np.zeros((S + 1, S + 1))
+        cutsq[1:, 1:] = cuts[self.tabindex[1:, 1:]] ** 2
+
+        bank = TableBank.from_built(self.tables, self.tabstyle, dtype=dtype)
+        return bank, jnp.asarray(tabSS, jnp.int32), jnp.asarray(cutsq, dtype)
+
+    @property
+    def max_cutoff(self) -> float:
+        return max(t.cut for t in self.tables)
