@@ -29,6 +29,7 @@ import numpy as np
 
 from lammps_ucg_dev_tpu.core import units as units_mod
 from lammps_ucg_dev_tpu.core.state import ForceOut, SimState, System
+from lammps_ucg_dev_tpu.fixes import cluster_switch as fcs
 from lammps_ucg_dev_tpu.fixes import integrate as fi
 from lammps_ucg_dev_tpu.fixes import langevin as fl
 from lammps_ucg_dev_tpu.fixes import ucgstate as fs
@@ -74,6 +75,8 @@ class Simulation:
         nbr_spec: nbrmod.NeighborSpec,
         cfg: SimConfig,
         extra_post_force: Callable | None = None,
+        cluster_switch: "tuple | None" = None,   # (params, switch_freq)
+        log_dir: str | None = None,
     ):
         self.system = system
         self.state = state
@@ -82,6 +85,20 @@ class Simulation:
         self.nbr_spec = nbr_spec
         self.cfg = cfg
         self.extra_post_force = extra_post_force
+        self.cswitch = cluster_switch
+        self.cswitch_stats = (
+            fcs.ClusterSwitchStats.zeros(state.x.dtype) if cluster_switch else None
+        )
+        self.log_dir = log_dir
+        self._cswitch_jit = None
+        if cluster_switch is not None:
+            params_cs, freq = cluster_switch
+            if freq % cfg.reneigh_every != 0:
+                raise ValueError(
+                    "cluster_switch frequency must be a multiple of "
+                    f"reneigh_every (got {freq} vs {cfg.reneigh_every})"
+                )
+            self._cswitch_jit = jax.jit(self._cswitch_impl)
         self._mass = system.mass_per_atom(state.typ, dtype=state.x.dtype)
         self._fcarry: ForceOut | None = None
         self._nbr = None
@@ -153,6 +170,37 @@ class Simulation:
         danger = nbrmod.displacement_check(nbr, state.x, state.box, self.nbr_spec.skin)
         return state, fout, nbr.overflow, nbr.max_occupancy, danger
 
+    # ---- cluster_switch event (PRE_EXCHANGE analogue) ---------------------
+
+    def _cswitch_impl(self, state: SimState, stats):
+        params_cs, _ = self.cswitch
+        x_w, image = state.box.wrap(state.x, state.image)
+        state = dataclasses.replace(state, x=x_w, image=image)
+        nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
+        key, sub = jax.random.split(state.key)
+        state = dataclasses.replace(state, key=key)
+        return fcs.apply(sub, state, nbr, params_cs, stats)
+
+    def _maybe_cluster_switch(self):
+        if self.cswitch is None:
+            return
+        _, freq = self.cswitch
+        step = int(self.state.step)
+        if step == 0 or step % freq != 0:
+            return
+        self.state, self.cswitch_stats, info = self._cswitch_jit(
+            self.state, self.cswitch_stats)
+        # force recomputation after type flips
+        self._fcarry = None
+        if self.log_dir is not None:
+            # rank-0 event logs (fix_cluster_switch.cpp:704-725)
+            inc = np.asarray(info["in_cluster"]).astype(int)
+            ms = np.asarray(info["mol_state"])
+            with open(f"{self.log_dir}/cluster_assignment.log", "a") as fh:
+                fh.write(f"{step} " + " ".join(map(str, inc.tolist())) + "\n")
+            with open(f"{self.log_dir}/state_assignment.log", "a") as fh:
+                fh.write(f"{step} " + " ".join(map(str, ms.tolist())) + "\n")
+
     # ---- setup (Verlet::setup analogue) ----------------------------------
 
     def setup(self, run_window=(0, 0)):
@@ -184,6 +232,9 @@ class Simulation:
 
         done = 0
         while done < nsteps:
+            self._maybe_cluster_switch()
+            if self._fcarry is None:
+                self.setup((begin, end))
             todo = min(cfg.reneigh_every, nsteps - done)
             state, fout, overflow, maxocc, danger = self._block(
                 self.state, self._fcarry, run_window, nsteps=todo
