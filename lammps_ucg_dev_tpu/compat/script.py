@@ -1,0 +1,595 @@
+"""LAMMPS input-script compatibility layer.
+
+The reference package has no CLI of its own — its entire user surface is
+LAMMPS input-script commands plus side files (SURVEY.md §5 "Config / flag
+system").  This module interprets the subset of that grammar the UCG package
+touches, so a reference input deck drives this engine directly:
+
+    units / dimension / boundary / atom_style
+    read_data / write_data / read_restart / write_restart
+    mass, timestep, neighbor, neigh_modify, velocity
+    pair_style  table_ucgld | table_ucg_bethe | table_ucg_bethe_density |
+                table_rleucg_interface   (with their keyword grammars,
+                pair_table_ucgld.cpp:654-716, pair_table_ucg_bethe.cpp:746-886)
+    pair_coeff  (multi-table UCG grammar, pair_table_ucgld.cpp:719-746;
+                stock single-table grammar for rleucg_interface)
+    fix         nve/ucgld | nve/ucgld/wall/hard [bias_potential H] |
+                ucgld/langevin Tstart Tstop Tperiod seed |
+                ucgstate [ld | mc seed rate] |
+                cluster_switch molID_seed mol_offset cutoff seed rateFreq N
+                               rateFile f contactFile f
+    dump / dump_modify thresh / undump
+    thermo / thermo_style (accepted; output is the engine's thermo row)
+    run N / rerun
+    log / print / echo / variable (minimal)
+
+Only the group "all" is supported for fixes (the reference decks use it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shlex
+
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_ucg_dev_tpu.core import units as units_mod
+from lammps_ucg_dev_tpu.core.state import Box, SimState, System
+from lammps_ucg_dev_tpu.fixes import cluster_switch as fcs
+from lammps_ucg_dev_tpu.fixes import integrate as fi
+from lammps_ucg_dev_tpu.fixes import langevin as fl
+from lammps_ucg_dev_tpu.fixes import ucgstate as fs
+from lammps_ucg_dev_tpu.io import data as dio
+from lammps_ucg_dev_tpu.io import dump as dmp
+from lammps_ucg_dev_tpu.io import restart as rst
+from lammps_ucg_dev_tpu.io.state_settings import parse_state_settings
+from lammps_ucg_dev_tpu.models import (pair_bethe, pair_bethe_density,
+                                       pair_rleucg, pair_ucgld)
+from lammps_ucg_dev_tpu.models.typemap import RLEUCGBuilder, TablePairBuilder
+from lammps_ucg_dev_tpu.ops import neighbor as nbrmod
+from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
+
+_PAIR_DIALECT = {
+    "table_ucgld": "ucgld",
+    "table_ucg_bethe": "bethe",
+    "table_ucg_bethe_density": "bethe_density",
+    "table_rleucg_interface": "rleucg",
+}
+
+
+@dataclasses.dataclass
+class _Dump:
+    writer: dmp.DumpWriter
+    every: int
+    group: str = "all"
+
+
+@dataclasses.dataclass
+class _PendingPair:
+    style: str
+    tabstyle: str
+    tablength: int
+    settings: object = None
+    method: str = "bethe"
+    pseudo: bool = True
+    prior_mode: str = "ucgl"
+    noise_level: float = 0.0
+    noise_seed: int = 0
+    coeffs: list = dataclasses.field(default_factory=list)
+
+
+class ScriptRunner:
+    """Interprets an input deck; holds the building simulation."""
+
+    def __init__(self, workdir: str = ".", dtype=jnp.float32,
+                 log_callback=None):
+        self.workdir = workdir
+        self.dtype = dtype
+        self.units = "lj"
+        self.dim = 3
+        self.boundary = (True, True, True)
+        self.atom_style = "ucg"
+        self.datafile: dio.DataFile | None = None
+        self.state: SimState | None = None
+        self.system: System | None = None
+        self.masses_override: dict = {}
+        self.dt: float | None = None
+        self.skin = 0.3
+        self.reneigh_every = 10
+        self.neighbor_method: str | None = None
+        self.pair: _PendingPair | None = None
+        self.integrator = fi.IntegratorCfg(kind="none")
+        self.langevin: fl.LangevinCfg | None = None
+        self.ucgstate_cfg: fs.UCGStateCfg | None = None
+        self.cswitch: tuple | None = None
+        self.fix_ids: dict = {}
+        self.dumps: dict = {}
+        self.thermo_every = 0
+        self.thermo_rows: list = []
+        self.variables: dict = {}
+        self.log = log_callback or (lambda msg: print(msg))
+        self.sim: Simulation | None = None
+        self._total_steps_run = 0
+
+    # ------------------------------------------------------------------
+
+    def _path(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.workdir, p)
+
+    def run_file(self, path: str):
+        with open(path) as fh:
+            self.run_string(fh.read())
+
+    def run_string(self, text: str):
+        # handle line continuations with '&'
+        logical = []
+        buf = ""
+        for raw in text.splitlines():
+            line = raw.split("#")[0].rstrip()
+            if line.endswith("&"):
+                buf += line[:-1] + " "
+                continue
+            buf += line
+            if buf.strip():
+                logical.append(buf.strip())
+            buf = ""
+        for line in logical:
+            self.command(line)
+
+    def command(self, line: str):
+        toks = shlex.split(self._substitute(line))
+        if not toks:
+            return
+        cmd, args = toks[0], toks[1:]
+        handler = getattr(self, f"_cmd_{cmd}", None)
+        if handler is None:
+            raise ValueError(f"unsupported input-script command: {cmd}")
+        handler(args)
+
+    def _substitute(self, line: str) -> str:
+        for name, val in self.variables.items():
+            line = line.replace(f"${{{name}}}", str(val))
+            line = line.replace(f"${name}", str(val))
+        return line
+
+    # ---- setup commands ------------------------------------------------
+
+    def _cmd_units(self, a):
+        self.units = a[0]
+        units_mod.get(a[0])
+
+    def _cmd_dimension(self, a):
+        if int(a[0]) != 3:
+            raise ValueError("only 3d is supported")
+
+    def _cmd_boundary(self, a):
+        self.boundary = tuple(tok.startswith("p") for tok in a[:3])
+
+    def _cmd_atom_style(self, a):
+        self.atom_style = a[0]
+
+    def _cmd_log(self, a):
+        pass
+
+    def _cmd_echo(self, a):
+        pass
+
+    def _cmd_print(self, a):
+        self.log(" ".join(a))
+
+    def _cmd_variable(self, a):
+        # variable name equal/string value
+        if len(a) >= 3 and a[1] in ("equal", "string", "index"):
+            self.variables[a[0]] = a[2]
+        else:
+            self.variables[a[0]] = a[-1]
+
+    def _cmd_group(self, a):
+        if a[0] != "all":
+            self.log(f"WARNING: group {a[0]} recorded but only 'all' is "
+                     "honored by fixes")
+
+    def _cmd_read_data(self, a):
+        df = dio.read_data(self._path(a[0]), atom_style=self.atom_style)
+        self.datafile = df
+        box = Box.create(df.box_lo, df.box_hi, periodic=self.boundary,
+                         dtype=self.dtype)
+        self.state = SimState.create(
+            x=df.x, v=df.v, typ=df.typ, mol=df.mol, q=df.q,
+            ucgstate=df.ucgstate, ucgl=df.ucgl, ucgvl=df.ucgvl,
+            ucgml=df.ucgml, box=box, dtype=self.dtype)
+        import jax
+        self.state = dataclasses.replace(
+            self.state, image=jnp.asarray(df.image, jnp.int32))
+        self.system = System(n_atoms=df.n_atoms, ntypes=df.n_types,
+                             masses=df.masses.copy(), units=self.units)
+
+    def _cmd_read_restart(self, a):
+        self.state, extra = rst.read_restart(self._path(a[0]), dtype=self.dtype)
+        n = self.state.n_atoms
+        ntypes = int(np.asarray(self.state.typ).max())
+        self.system = System(n_atoms=n, ntypes=ntypes,
+                             masses=np.ones(ntypes + 1), units=self.units)
+        self._restart_extra = extra
+
+    def _cmd_write_restart(self, a):
+        extra = {}
+        if self.sim is not None and self.sim.cswitch_stats is not None:
+            extra["cswitch_stats"] = np.asarray(self.sim.cswitch_stats.v)
+        rst.write_restart(self._path(a[0]), self.state, extra)
+
+    def _cmd_write_data(self, a):
+        dio.write_data(self._path(a[0]), self.state, self.system)
+
+    def _cmd_mass(self, a):
+        self.masses_override[int(a[0])] = float(a[1])
+
+    def _cmd_timestep(self, a):
+        self.dt = float(a[0])
+
+    def _cmd_neighbor(self, a):
+        self.skin = float(a[0])
+        if len(a) > 1 and a[1] == "nsq":
+            self.neighbor_method = "nsq"
+
+    def _cmd_neigh_modify(self, a):
+        i = 0
+        while i < len(a):
+            if a[i] == "every":
+                self.reneigh_every = int(a[i + 1])
+                i += 2
+            elif a[i] in ("delay", "check", "once", "page"):
+                i += 2
+            else:
+                i += 1
+
+    def _cmd_velocity(self, a):
+        # velocity all create T seed [dist gaussian]
+        if len(a) >= 4 and a[1] == "create":
+            T = float(a[2])
+            seed = int(a[3])
+            u = units_mod.get(self.units)
+            rng = np.random.default_rng(seed)
+            n = self.state.n_atoms
+            masses = (self.system.masses if not self.masses_override
+                      else self._masses())
+            m = masses[np.asarray(self.state.typ)]
+            sigma = np.sqrt(u.boltz * T / (m * u.mvv2e))
+            v = rng.normal(0, 1, (n, 3)) * sigma[:, None]
+            v -= v.mean(axis=0)   # zero linear momentum
+            self.state = dataclasses.replace(
+                self.state, v=jnp.asarray(v, self.dtype))
+        elif len(a) >= 2 and a[1] == "set":
+            v = np.full((self.state.n_atoms, 3), 0.0)
+            for d in range(3):
+                if a[2 + d] != "NULL":
+                    v[:, d] = float(a[2 + d])
+            self.state = dataclasses.replace(
+                self.state, v=jnp.asarray(v, self.dtype))
+        else:
+            raise ValueError(f"unsupported velocity command: {a}")
+
+    def _masses(self):
+        masses = self.system.masses.copy()
+        for t, m in self.masses_override.items():
+            masses[t] = m
+        return masses
+
+    # ---- pair style ----------------------------------------------------
+
+    def _cmd_pair_style(self, a):
+        style = a[0]
+        if style not in _PAIR_DIALECT:
+            raise ValueError(
+                f"unsupported pair_style {style!r}; supported: "
+                f"{sorted(_PAIR_DIALECT)}")
+        tabstyle = a[1]
+        tablength = int(a[2])
+        pending = _PendingPair(style=style, tabstyle=tabstyle,
+                               tablength=tablength)
+        dialect = _PAIR_DIALECT[style]
+        pending.settings = parse_state_settings(self._path(a[3]), dialect)
+        # optional keywords (method/pseudo/prior for bethe; kspace flags
+        # accepted and ignored — no long-range solver here)
+        i = 4
+        while i < len(a):
+            kw = a[i]
+            if kw in ("ewald", "pppm", "msm", "dispersion", "tip4p"):
+                i += 1
+            elif kw == "method":
+                pending.method = {"mf": "mf", "meanfield": "mf",
+                                  "bethe": "bethe", "Bethe": "bethe"}[a[i + 1]]
+                i += 2
+            elif kw == "pseudo":
+                pending.pseudo = a[i + 1] == "yes"
+                i += 2
+            elif kw == "prior":
+                if a[i + 1] == "chemical_potential":
+                    if i + 2 < len(a) and a[i + 2] == "noise":
+                        pending.prior_mode = "chemical_potential_noise"
+                        pending.noise_level = float(a[i + 3])
+                        pending.noise_seed = int(a[i + 4])
+                        i += 5
+                    else:
+                        pending.prior_mode = "chemical_potential"
+                        i += 2
+                elif a[i + 1] == "ucgl":
+                    pending.prior_mode = "ucgl"
+                    i += 2
+                else:
+                    raise ValueError(f"unknown prior mode {a[i + 1]!r}")
+            else:
+                raise ValueError(f"unknown pair_style keyword {kw!r}")
+        self.pair = pending
+
+    def _cmd_pair_coeff(self, a):
+        if self.pair is None:
+            raise ValueError("pair_coeff before pair_style")
+        self.pair.coeffs.append(list(a))
+
+    def _build_pair(self, kT: float):
+        p = self.pair
+        if p is None:
+            raise ValueError("no pair_style defined")
+        dtype = self.dtype
+        if p.style == "table_rleucg_interface":
+            b = RLEUCGBuilder(p.tabstyle, p.tablength, p.settings)
+            for c in p.coeffs:
+                # pair_coeff i j file keyword cutoff
+                b.pair_coeff(c[0], c[1], (self._path(c[2]), c[3]), float(c[4]))
+            params = pair_rleucg.make_params(b, p.settings, kT, dtype=dtype)
+            return pair_rleucg.compute, params, b.max_cutoff
+        b = TablePairBuilder(p.tabstyle, p.tablength, p.settings)
+        for c in p.coeffs:
+            ns_i, ns_j = int(c[2]), int(c[3])
+            entries = []
+            rest = c[4:]
+            for k in range(ns_i * ns_j):
+                f, kw, cut = rest[3 * k], rest[3 * k + 1], rest[3 * k + 2]
+                entries.append(((self._path(f), kw), float(cut)))
+            b.pair_coeff(c[0], c[1], ns_i, ns_j, entries)
+        bank, tp = b.build(dtype=dtype)
+        if p.style == "table_ucgld":
+            params = pair_ucgld.UCGLDParams(
+                bank=bank, tp=tp, kT=jnp.asarray(kT, dtype))
+            return pair_ucgld.compute, params, b.max_cutoff
+        if p.style == "table_ucg_bethe":
+            params = pair_bethe.make_params(
+                bank, tp, kT, method=p.method, pseudo=p.pseudo,
+                prior_mode=p.prior_mode, noise_level=p.noise_level, dtype=dtype)
+            return pair_bethe.compute, params, b.max_cutoff
+        if p.style == "table_ucg_bethe_density":
+            params = pair_bethe_density.make_params(
+                bank, tp, kT, method=p.method, dtype=dtype)
+            return pair_bethe_density.compute, params, b.max_cutoff
+        raise AssertionError(p.style)
+
+    # ---- fixes ---------------------------------------------------------
+
+    def _cmd_fix(self, a):
+        fid, group, style = a[0], a[1], a[2]
+        rest = a[3:]
+        if group != "all":
+            self.log(f"WARNING: fix group {group!r} treated as 'all'")
+        if style == "nve/ucgld":
+            self.integrator = fi.IntegratorCfg(kind="nve/ucgld")
+        elif style == "nve/ucgld/wall/hard":
+            bias = False
+            barrier = 0.1
+            i = 0
+            while i < len(rest):
+                if rest[i] == "bias_potential":
+                    bias = True
+                    if i + 1 < len(rest):
+                        barrier = float(rest[i + 1])
+                    i += 2
+                else:
+                    raise ValueError(f"unknown wall/hard arg {rest[i]!r}")
+            self.integrator = fi.IntegratorCfg(
+                kind="nve/ucgld/wall/hard", bias_potential=bias,
+                barrier=barrier)
+        elif style == "ucgld/langevin":
+            self.langevin = fl.LangevinCfg(
+                t_start=float(rest[0]), t_stop=float(rest[1]),
+                t_period=float(rest[2]), seed=int(rest[3]))
+        elif style == "ucgstate":
+            if not rest:
+                self.ucgstate_cfg = fs.UCGStateCfg(mode="default")
+            elif rest[0] == "ld":
+                self.ucgstate_cfg = fs.UCGStateCfg(mode="ld")
+            elif rest[0] == "mc":
+                self.ucgstate_cfg = fs.UCGStateCfg(
+                    mode="mc", mc_rate=float(rest[2]))
+            else:
+                raise ValueError(f"unknown ucgstate arg {rest[0]!r}")
+        elif style == "cluster_switch":
+            # molID_seed mol_offset cutoff seed rateFreq N rateFile f contactFile f
+            mol_seed = int(rest[0])
+            mol_offset = int(rest[1])
+            cutoff = float(rest[2])
+            kw = {rest[i]: rest[i + 1] for i in range(4, len(rest) - 1, 2)}
+            freq = int(kw.get("rateFreq", rest[5] if len(rest) > 5 else 1000))
+            rates = _read_rates_file(self._path(kw["rateFile"]))
+            contacts = _read_contacts_file(self._path(kw["contactFile"]))
+            maxmol = int(np.asarray(self.state.mol).max())
+            params = fcs.make_params(
+                ntypes=self.system.ntypes, contacts=contacts,
+                atomtypes_on=rates["on"], atomtypes_off=rates["off"],
+                probON=rates["probON"], cutoff=cutoff, mol_seed=mol_seed,
+                mol_offset=mol_offset, maxmol=maxmol, dtype=self.dtype)
+            self.cswitch = (params, freq)
+        else:
+            raise ValueError(f"unsupported fix style {style!r}")
+        self.fix_ids[fid] = style
+
+    def _cmd_unfix(self, a):
+        style = self.fix_ids.pop(a[0], None)
+        if style in ("nve/ucgld", "nve/ucgld/wall/hard"):
+            self.integrator = fi.IntegratorCfg(kind="none")
+        elif style == "ucgld/langevin":
+            self.langevin = None
+        elif style == "ucgstate":
+            self.ucgstate_cfg = None
+        elif style == "cluster_switch":
+            self.cswitch = None
+
+    # ---- dumps & thermo ------------------------------------------------
+
+    def _cmd_dump(self, a):
+        did, group, style, every, fname = a[0], a[1], a[2], int(a[3]), a[4]
+        if style != "custom":
+            raise ValueError("only 'dump custom' is supported")
+        cols = tuple(a[5:])
+        w = dmp.DumpWriter(self._path(fname), columns=cols)
+        self.dumps[did] = _Dump(writer=w, every=every, group=group)
+
+    def _cmd_dump_modify(self, a):
+        did = a[0]
+        if a[1] == "thresh":
+            self.dumps[did].writer.modify_thresh(a[2], a[3], float(a[4]))
+        else:
+            self.log(f"WARNING: dump_modify {a[1]} ignored")
+
+    def _cmd_undump(self, a):
+        self.dumps.pop(a[0], None)
+
+    def _cmd_thermo(self, a):
+        self.thermo_every = int(a[0])
+
+    def _cmd_thermo_style(self, a):
+        pass   # output columns are the engine's thermo row
+
+    # ---- run -----------------------------------------------------------
+
+    def _make_sim(self):
+        u = units_mod.get(self.units)
+        t_thermo = self.langevin.t_start if self.langevin else 0.0
+        kT = u.boltz * t_thermo
+        pair_compute, pair_params, cutoff = self._build_pair(kT)
+        n = self.state.n_atoms
+        L = np.asarray(self.state.box.lengths)
+        spec = nbrmod.make_spec(n, L, cutoff, self.skin,
+                                method=self.neighbor_method)
+        dt = self.dt if self.dt is not None else u.dt_default
+        cfg = SimConfig(
+            dt=dt, units=self.units, integrator=self.integrator,
+            langevin=self.langevin, ucgstate=self.ucgstate_cfg,
+            reneigh_every=self.reneigh_every)
+        system = System(n_atoms=n, ntypes=self.system.ntypes,
+                        masses=self._masses(), units=self.units)
+        self.sim = Simulation(system, self.state, pair_compute, pair_params,
+                              spec, cfg, cluster_switch=self.cswitch,
+                              log_dir=self.workdir if self.cswitch else None)
+
+    def _cmd_run(self, a):
+        nsteps = int(a[0])
+        self._make_sim()
+        sim = self.sim
+        cadences = [c for c in
+                    [self.thermo_every] + [d.every for d in self.dumps.values()]
+                    if c > 0]
+        chunk = min(cadences) if cadences else nsteps
+        chunk = max(chunk, 1)
+
+        def emit():
+            step = int(sim.state.step)
+            if self.thermo_every and step % self.thermo_every == 0:
+                row = sim.thermo()
+                self.thermo_rows.append(row)
+                self.log("  ".join(f"{k}={v:.6g}" if isinstance(v, float)
+                                   else f"{k}={v}" for k, v in row.items()))
+            for d in self.dumps.values():
+                if step % d.every == 0:
+                    d.writer.write(sim.state)
+
+        sim.setup((int(sim.state.step), int(sim.state.step) + nsteps))
+        emit()
+        done = 0
+        while done < nsteps:
+            todo = min(chunk, nsteps - done)
+            sim.run(todo)
+            done += todo
+            emit()
+        self.state = sim.state
+        self._total_steps_run += nsteps
+
+    def _cmd_rerun(self, a):
+        """rerun dumpfile [first N last N every N] dump x y z [ucgl ucgp ucgstate ...]
+        (read_dump.cpp + rerun semantics: re-evaluate forces/posteriors per
+        snapshot; fix ucgstate setup-time evaluation enables state
+        assignment, fix_ucgstate.cpp:165-169)."""
+        fname = self._path(a[0])
+        i = 1
+        first, last, every = None, None, 1
+        fields = ["x", "y", "z"]
+        while i < len(a):
+            if a[i] == "first":
+                first = int(a[i + 1]); i += 2
+            elif a[i] == "last":
+                last = int(a[i + 1]); i += 2
+            elif a[i] == "every":
+                every = int(a[i + 1]); i += 2
+            elif a[i] == "dump":
+                fields = list(a[i + 1:])
+                break
+            else:
+                i += 1
+        snaps = dmp.read_dump(fname)
+        self._make_sim()
+        sim = self.sim
+        for k, snap in enumerate(snaps):
+            if first is not None and snap.step < first:
+                continue
+            if last is not None and snap.step > last:
+                continue
+            if k % every:
+                continue
+            st = dmp.apply_snapshot(sim.state, snap, fields=tuple(fields))
+            st = dataclasses.replace(st, step=jnp.asarray(snap.step, jnp.int32))
+            sim.state = st
+            sim._fcarry = None
+            sim.setup()
+            if self.thermo_every:
+                row = sim.thermo()
+                self.thermo_rows.append(row)
+                self.log("  ".join(f"{k2}={v:.6g}" if isinstance(v, float)
+                                   else f"{k2}={v}" for k2, v in row.items()))
+            for d in self.dumps.values():
+                d.writer.write(sim.state)
+        self.state = sim.state
+
+
+def _read_rates_file(path: str) -> dict:
+    """rates.txt: probON; nSwitchTypes; ON types row; OFF types row
+    (fix_cluster_switch.cpp:206-282)."""
+    rows = []
+    with open(path) as fh:
+        for raw in fh:
+            s = raw.split("#")[0].strip()
+            if s:
+                rows.append(s.split())
+    probON = float(rows[0][0])
+    if probON > 1.0:
+        raise ValueError("Incorrect probability in rates file")
+    nst = int(rows[1][0])
+    on = [int(v) for v in rows[2][:nst]]
+    off = [int(v) for v in rows[3][:nst]]
+    return {"probON": probON, "on": on, "off": off}
+
+
+def _read_contacts_file(path: str) -> list:
+    """contacts.txt: two header lines (counts) then contact type pairs
+    (fix_cluster_switch.cpp:286-355)."""
+    rows = []
+    with open(path) as fh:
+        for raw in fh:
+            s = raw.split("#")[0].strip()
+            if s:
+                rows.append(s.split())
+    # rows[0] = [label?, nContactTypes], rows[1] = [label?, nAtomsPerContact]
+    pairs = []
+    for r in rows[2:]:
+        pairs.append((int(r[0]), int(r[1])))
+    return pairs

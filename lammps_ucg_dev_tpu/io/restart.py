@@ -1,0 +1,77 @@
+"""Binary checkpoint/restart.
+
+The reference's restart persists the per-atom UCG fields
+{ucgstate, ucgl, ucgml, ucgvl, ucgp} with the atom style
+(atom_vec_ucg.cpp:85) and only the pair-style SETTINGS (tables must be
+re-declared after restart, pair_table_ucgld.cpp:1431-1471).  Here a restart
+file is a single .npz capturing the full SimState (positions, velocities,
+types, molecules, charges, images, all UCG fields, RNG key, step, box) plus
+optional fix state (cluster-switch statistics).  Pair tables are likewise
+rebuilt from the input configuration, matching the reference's contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_ucg_dev_tpu.core.state import Box, SimState
+
+_VERSION = 1
+
+
+def write_restart(path: str, state: SimState, extra: dict | None = None) -> None:
+    arrays = {
+        "version": np.asarray(_VERSION),
+        "step": np.asarray(state.step),
+        "x": np.asarray(state.x),
+        "v": np.asarray(state.v),
+        "typ": np.asarray(state.typ),
+        "mol": np.asarray(state.mol),
+        "q": np.asarray(state.q),
+        "image": np.asarray(state.image),
+        "ucgstate": np.asarray(state.ucgstate),
+        "ucgl": np.asarray(state.ucgl),
+        "ucgvl": np.asarray(state.ucgvl),
+        "ucgml": np.asarray(state.ucgml),
+        "ucgp": np.asarray(state.ucgp),
+        "key": np.asarray(state.key),
+        "box_lo": np.asarray(state.box.lo),
+        "box_hi": np.asarray(state.box.hi),
+        "box_periodic": np.asarray(state.box.periodic),
+    }
+    for k, v in (extra or {}).items():
+        arrays[f"extra_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **arrays)
+
+
+def read_restart(path: str, dtype=jnp.float32):
+    """Returns (SimState, extra_dict)."""
+    z = np.load(path, allow_pickle=False)
+    if int(z["version"]) != _VERSION:
+        raise ValueError(f"unsupported restart version {int(z['version'])}")
+    box = Box(
+        lo=jnp.asarray(z["box_lo"], dtype),
+        hi=jnp.asarray(z["box_hi"], dtype),
+        periodic=tuple(bool(p) for p in z["box_periodic"]),
+    )
+    state = SimState(
+        step=jnp.asarray(z["step"], jnp.int32),
+        x=jnp.asarray(z["x"], dtype),
+        v=jnp.asarray(z["v"], dtype),
+        typ=jnp.asarray(z["typ"], jnp.int32),
+        mol=jnp.asarray(z["mol"], jnp.int32),
+        q=jnp.asarray(z["q"], dtype),
+        image=jnp.asarray(z["image"], jnp.int32),
+        ucgstate=jnp.asarray(z["ucgstate"], jnp.int32),
+        ucgl=jnp.asarray(z["ucgl"], dtype),
+        ucgvl=jnp.asarray(z["ucgvl"], dtype),
+        ucgml=jnp.asarray(z["ucgml"], dtype),
+        ucgp=jnp.asarray(z["ucgp"], dtype),
+        key=jnp.asarray(z["key"]),
+        box=box,
+    )
+    extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
+    return state, extra

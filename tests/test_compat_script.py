@@ -1,0 +1,103 @@
+"""End-to-end input-script compatibility tests: a reference-style deck
+(data + tables + settings + script) drives the engine."""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+from make_deck import write_ucgld_deck  # noqa: E402
+
+from lammps_ucg_dev_tpu.compat.script import ScriptRunner  # noqa: E402
+from lammps_ucg_dev_tpu.io import dump as dmp  # noqa: E402
+
+
+def test_ucgld_deck_runs(tmp_path):
+    deck = write_ucgld_deck(str(tmp_path), n=128, nsteps=40, dt=0.002,
+                            tablength=800, thermo_every=20)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_file(deck)
+    assert len(r.thermo_rows) >= 2
+    row = r.thermo_rows[-1]
+    assert row["step"] == 40
+    assert np.isfinite(row["etotal"])
+    lam = np.asarray(r.state.ucgl)
+    assert lam.min() > -0.5 and lam.max() < 1.5   # wall keeps λ bounded
+    assert row["oob_low"] == 0 and row["oob_high"] == 0
+
+
+def test_deck_with_dump_and_write_data(tmp_path):
+    deck = write_ucgld_deck(str(tmp_path), n=64, nsteps=20, dt=0.002,
+                            tablength=800)
+    text = open(deck).read()
+    text = text.replace(
+        "thermo 100",
+        "dump d1 all custom 10 traj.lammpstrj id mol type x y z ucgstate ucgl ucgp\n"
+        "thermo 10",
+    )
+    text += "write_data final.data\nwrite_restart final.restart.npz\n"
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(text)
+    snaps = dmp.read_dump(str(tmp_path / "traj.lammpstrj"))
+    assert [s.step for s in snaps] == [0, 10, 20]
+    assert snaps[0].n_atoms == 64
+    assert (tmp_path / "final.data").exists()
+    assert (tmp_path / "final.restart.npz").exists()
+
+    # restart continuation: read_restart + identical styles + run
+    cont = """units lj
+atom_style ucg
+read_restart final.restart.npz
+pair_style table_ucgld linear 800 ucg.settings
+pair_coeff 1 1 2 2 ucg.table UCG_00 2.5 ucg.table UCG_01 2.5 ucg.table UCG_10 2.5 ucg.table UCG_11 2.5
+timestep 0.002
+fix 1 all nve/ucgld/wall/hard bias_potential 0.1
+fix 2 all ucgld/langevin 0.8 0.8 0.5 99
+fix 3 all ucgstate ld
+thermo 10
+run 10
+"""
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r2.run_string(cont)
+    assert r2.thermo_rows[-1]["step"] == 30   # continued from step 20
+
+
+def test_rerun_state_assignment(tmp_path):
+    """rerun + fix ucgstate: posterior/state assignment over a trajectory
+    (read_dump.cpp:899-908 + fix_ucgstate.cpp:165-169)."""
+    deck = write_ucgld_deck(str(tmp_path), n=64, nsteps=20, dt=0.002,
+                            tablength=800)
+    text = open(deck).read().replace(
+        "thermo 100",
+        "dump d1 all custom 10 traj.lammpstrj id type x y z ucgstate ucgl ucgp\n"
+        "thermo 100")
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(text)
+
+    rerun_deck = """units lj
+atom_style ucg
+read_data system.data
+pair_style table_ucgld linear 800 ucg.settings
+pair_coeff 1 1 2 2 ucg.table UCG_00 2.5 ucg.table UCG_01 2.5 ucg.table UCG_10 2.5 ucg.table UCG_11 2.5
+timestep 0.002
+fix 2 all ucgld/langevin 0.8 0.8 0.5 99
+fix 3 all ucgstate
+dump d2 all custom 1 rerun_out.lammpstrj id ucgstate ucgl ucgp
+rerun traj.lammpstrj dump x y z ucgl
+"""
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r2.run_string(rerun_deck)
+    out = dmp.read_dump(str(tmp_path / "rerun_out.lammpstrj"))
+    assert len(out) == 3
+    p = out[-1].fields["ucgp"]
+    assert np.all((p > 0) & (p < 1))
+    # default-mode ucgstate assignment: state == round(p)
+    np.testing.assert_array_equal(out[-1].fields["ucgstate"], np.round(p))
