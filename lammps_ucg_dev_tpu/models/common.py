@@ -19,6 +19,15 @@ from lammps_ucg_dev_tpu.ops.neighbor import NeighborList
 from lammps_ucg_dev_tpu.ops.table import TableBank
 
 
+def take2d(arr: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:
+    """arr[i, j] for a small 2-D-indexed table via a single flat-index take.
+    TPU-critical: two-axis advanced indexing lowers to a pathologically slow
+    gather (~10× the flat take) — see TableBank docstring."""
+    n1 = arr.shape[1]
+    flat = arr.reshape((arr.shape[0] * n1,) + arr.shape[2:])
+    return jnp.take(flat, i * n1 + j, axis=0)
+
+
 def pair_geometry(x: jax.Array, box: Box, nbr: NeighborList):
     """Gather neighbor indices and displacements.
 
@@ -43,7 +52,7 @@ def eval_state_block(bank: TableBank, tp: UCGTypeParams, ti: jax.Array,
     Returns (e4, fp4, oob_lo, oob_hi): e4/fp4 have shape (N, K, 2, 2) with
     axes [..., si, sj], zeroed outside ``within``.
     """
-    t4 = tp.tab4[ti, tj]                                # (N, K, 2, 2)
+    t4 = take2d(tp.tab4, ti, tj)                        # (N, K, 2, 2)
     rsq4 = rsq[..., None, None]
     e4, fp4, lo, hi = bank.interp(t4, rsq4)
     w = within[..., None, None]

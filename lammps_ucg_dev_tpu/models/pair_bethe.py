@@ -154,7 +154,7 @@ def compute(state: SimState, nbr: NeighborList, params: BetheParams) -> ForceOut
     jc, valid, dr, rsq = common.pair_geometry(x, state.box, nbr)
     ti = typ[:, None]
     tj = typ[jc]
-    within = valid & (rsq < tp.cutsq[ti, tj])
+    within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
 
     e4, fp4, oob_lo, oob_hi = common.eval_state_block(bank, tp, ti, tj, rsq, within)
 

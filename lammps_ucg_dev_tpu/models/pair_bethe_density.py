@@ -114,7 +114,7 @@ def compute(state: SimState, nbr: NeighborList,
     jc, valid, dr, rsq = common.pair_geometry(x, state.box, nbr)
     ti = typ[:, None]
     tj = typ[jc]
-    within = valid & (rsq < tp.cutsq[ti, tj])
+    within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
     r = jnp.sqrt(jnp.where(within, rsq, 1.0))
 
     # ---- phase 1: density -> priors --------------------------------------

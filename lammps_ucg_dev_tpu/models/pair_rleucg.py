@@ -109,7 +109,7 @@ def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams) -> ForceOu
     jc, valid, dr, rsq = common.pair_geometry(x, state.box, nbr)
     ti = typ[:, None]
     tj = typ[jc]
-    within = valid & (rsq < params.cutsq[ti, tj])
+    within = valid & (rsq < common.take2d(params.cutsq, ti, tj))
     r = jnp.sqrt(jnp.where(within, rsq, 1.0))
 
     act = params.actual_from_state[typ]
@@ -122,7 +122,7 @@ def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams) -> ForceOu
     probs, partial = substate_probs(params, typ, rho)      # (N, Smax)
 
     # ---- phase 2: mean-field mixed forces + probability forces ------------
-    tSS = params.tabSS[ti, tj]                             # (N, K, Smax, Smax)
+    tSS = common.take2d(params.tabSS, ti, tj)                 # (N, K, Smax, Smax)
     eS, fpS, lo, hi = bank.interp(tSS, rsq[..., None, None])
     w = within[..., None, None]
     eS = jnp.where(w, eS, 0.0)
@@ -190,7 +190,7 @@ def potential_energy(x: jax.Array, state: SimState, nbr: NeighborList,
     st = state
     jc, valid, dr, rsq = common.pair_geometry(x, st.box, nbr)
     ti, tj = st.typ[:, None], st.typ[jc]
-    within = valid & (rsq < params.cutsq[ti, tj])
+    within = valid & (rsq < common.take2d(params.cutsq, ti, tj))
     r = jnp.sqrt(jnp.where(within, rsq, 1.0))
     act = params.actual_from_state[st.typ]
     ns = params.n_states[act]
@@ -199,7 +199,7 @@ def potential_energy(x: jax.Array, state: SimState, nbr: NeighborList,
     rho = jnp.sum(w_prox, axis=1)
     probs, _ = substate_probs(params, st.typ, rho)
 
-    tSS = params.tabSS[ti, tj]
+    tSS = common.take2d(params.tabSS, ti, tj)
     eS, _, _, _ = params.bank.interp(tSS, rsq[..., None, None])
     eS = jnp.where(within[..., None, None], eS, 0.0)
     emix = jnp.einsum("ns,nkt,nkst->nk", probs, probs[jc], eS)

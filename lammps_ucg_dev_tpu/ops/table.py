@@ -162,6 +162,13 @@ class TableBank:
     ``interp`` is the single hot primitive of the tabulated substrate: the four
     interpolation modes of the reference's per-pair switch
     (pair_table_ucgld.cpp:226-268) become one vectorized gather + FMA.
+
+    TPU note: the hot path gathers from ``packed`` — a channel-packed
+    ``(T*L, C)`` layout read with a single flat-index ``jnp.take``.  A
+    two-axis advanced-index gather (``e[t, it]``) lowers to ~20 ms per call
+    at 4k×93 pairs on v5e, while the flat packed take fetches all channels in
+    one ~2 ms gather (measured ~6.6× whole-kernel speedup).  The unpacked
+    per-table arrays are kept for host-side oracles/diagnostics.
     """
 
     style: str
@@ -177,6 +184,8 @@ class TableBank:
     df: jax.Array         # (T, L)
     e2: jax.Array         # (T, L) spline only (zeros otherwise)
     f2: jax.Array         # (T, L)
+    packed: jax.Array     # (T*L, C): LOOKUP [e,f]; LINEAR [e,de,f,df];
+                          # SPLINE [e,f,e2,f2]
 
     @property
     def n_tables(self) -> int:
@@ -195,6 +204,21 @@ class TableBank:
                 out[i, : len(a)] = a
             return jnp.asarray(out, dtype=dtype)
 
+        e = stack(lambda t: t.e)
+        f = stack(lambda t: t.f)
+        de = stack(lambda t: t.de)
+        df = stack(lambda t: t.df)
+        e2 = stack(lambda t: t.e2)
+        f2 = stack(lambda t: t.f2)
+        if style == LOOKUP:
+            channels = (e, f)
+        elif style == LINEAR:
+            channels = (e, de, f, df)
+        elif style == SPLINE:
+            channels = (e, f, e2, f2)
+        else:
+            raise NotImplementedError(f"table style {style!r}")
+        packed = jnp.stack(channels, axis=-1).reshape(len(tables) * L, -1)
         return TableBank(
             style=style,
             nbins=L,
@@ -203,12 +227,8 @@ class TableBank:
             delta=jnp.asarray([t.delta for t in tables], dtype),
             cutsq=jnp.asarray([t.cut * t.cut for t in tables], dtype),
             deltasq6=jnp.asarray([t.deltasq6 for t in tables], dtype),
-            e=stack(lambda t: t.e),
-            f=stack(lambda t: t.f),
-            de=stack(lambda t: t.de),
-            df=stack(lambda t: t.df),
-            e2=stack(lambda t: t.e2),
-            f2=stack(lambda t: t.f2),
+            e=e, f=f, de=de, df=df, e2=e2, f2=f2,
+            packed=packed,
         )
 
     def interp(self, t: jax.Array, rsq: jax.Array):
@@ -227,28 +247,29 @@ class TableBank:
 
         if self.style == LOOKUP:
             it = jnp.clip(xbin.astype(jnp.int32), 0, L - 1)
-            e = self.e[t, it]
-            fp = self.f[t, it]
+            v = jnp.take(self.packed, t * L + it, axis=0)
+            e = v[..., 0]
+            fp = v[..., 1]
             oob_hi = xbin >= L
         elif self.style == LINEAR:
             it = jnp.clip(xbin.astype(jnp.int32), 0, L - 2)
             frac = xbin - it.astype(xbin.dtype)
-            e = self.e[t, it] + frac * self.de[t, it]
-            fp = self.f[t, it] + frac * self.df[t, it]
+            v = jnp.take(self.packed, t * L + it, axis=0)   # [e, de, f, df]
+            e = v[..., 0] + frac * v[..., 1]
+            fp = v[..., 2] + frac * v[..., 3]
             oob_hi = xbin >= (L - 1)
         elif self.style == SPLINE:
             it = jnp.clip(xbin.astype(jnp.int32), 0, L - 2)
             b = xbin - it.astype(xbin.dtype)
             a = 1.0 - b
             d6 = self.deltasq6[t]
-            e = (
-                a * self.e[t, it] + b * self.e[t, it + 1]
-                + ((a * a * a - a) * self.e2[t, it] + (b * b * b - b) * self.e2[t, it + 1]) * d6
-            )
-            fp = (
-                a * self.f[t, it] + b * self.f[t, it + 1]
-                + ((a * a * a - a) * self.f2[t, it] + (b * b * b - b) * self.f2[t, it + 1]) * d6
-            )
+            flat = t * L + it
+            v0 = jnp.take(self.packed, flat, axis=0)        # [e, f, e2, f2] @ it
+            v1 = jnp.take(self.packed, flat + 1, axis=0)    # ... @ it+1
+            wa = a * a * a - a
+            wb = b * b * b - b
+            e = a * v0[..., 0] + b * v1[..., 0] + (wa * v0[..., 2] + wb * v1[..., 2]) * d6
+            fp = a * v0[..., 1] + b * v1[..., 1] + (wa * v0[..., 3] + wb * v1[..., 3]) * d6
             oob_hi = xbin >= (L - 1)
         else:
             raise NotImplementedError(f"table style {self.style!r}")

@@ -256,6 +256,53 @@ class Simulation:
                     thermo_callback(row)
         return self.state
 
+    # ---- fused multi-block run (bench / production path) -------------------
+
+    def run_fused(self, nblocks: int, run_window=None):
+        """Advance nblocks × reneigh_every steps in ONE device dispatch: an
+        outer lax.scan over blocks (each block = wrap + neighbor rebuild +
+        inner scan of steps).  No host round-trips at all; safety flags are
+        OR-reduced across blocks and checked once at the end."""
+        if self._fcarry is None:
+            self.setup(run_window or (int(self.state.step),
+                                      int(self.state.step) + nblocks * self.cfg.reneigh_every))
+        if run_window is None:
+            run_window = (int(self.state.step),
+                          int(self.state.step) + nblocks * self.cfg.reneigh_every)
+        state, fout, overflow, maxocc, danger = self._fused(
+            self.state, self._fcarry, jnp.asarray(run_window), nblocks=nblocks)
+        self.state, self._fcarry = state, fout
+        if self.cfg.check_safety:
+            if bool(overflow):
+                raise RuntimeError(
+                    f"neighbor capacity exceeded (max occupancy {int(maxocc)} "
+                    f"> {self.nbr_spec.capacity})")
+            self.dangerous_builds += int(danger)
+        return self.state
+
+    @property
+    def _fused(self):
+        if not hasattr(self, "_fused_fn"):
+            def impl(state, fcarry, run_window, nsteps_inner, nblocks):
+                def blk(carry, _):
+                    state, fout, ovf, mx, dng = carry
+                    state, fout, o, m, d = self._block_impl(
+                        state, fout, run_window, nsteps_inner)
+                    return (state, fout, ovf | o, jnp.maximum(mx, m),
+                            dng + d.astype(jnp.int32)), None
+
+                init = (state, fcarry, jnp.asarray(False),
+                        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+                (state, fout, ovf, mx, dng), _ = jax.lax.scan(
+                    blk, init, None, length=nblocks)
+                return state, fout, ovf, mx, dng
+
+            self._fused_fn = jax.jit(
+                lambda state, fcarry, run_window, nblocks:
+                impl(state, fcarry, run_window, self.cfg.reneigh_every, nblocks),
+                static_argnames=("nblocks",))
+        return self._fused_fn
+
     # ---- observables ------------------------------------------------------
 
     def thermo(self) -> dict:
