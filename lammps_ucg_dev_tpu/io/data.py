@@ -113,15 +113,35 @@ def read_data(path: str, atom_style: str = "ucg") -> DataFile:
     df.ucgml = np.ones(n)
     df.ucgvl = np.zeros(n)
 
-    def read_section(start: int, nrows: int):
-        rows = []
+    def read_section(start: int, nrows: int, maxcols: int = 16):
+        """Parse nrows numeric lines into a (nrows, maxcols) float matrix +
+        per-row field counts.  Uses the native C++ parser when available
+        (runtime/native/ucgio.cpp), pure Python otherwise.  Returns
+        (rows, ncols, next_line_index)."""
+        from lammps_ucg_dev_tpu.runtime import native
+
+        blob = "\n".join(lines[start:start + nrows + 64])
+        out = native.parse_rows(blob.encode(), nrows, maxcols)
+        # advance the line cursor past nrows non-blank lines either way
         k = start
-        while len(rows) < nrows and k < len(lines):
+        taken = 0
+        py_rows = []
+        while taken < nrows and k < len(lines):
             s = _strip(lines[k])
             if s:
-                rows.append(s.split())
+                taken += 1
+                if out is None:
+                    py_rows.append(s.split())
             k += 1
-        return rows, k
+        if out is not None:
+            return out[0], out[1], k
+        rows = np.zeros((nrows, maxcols))
+        ncols = np.zeros(nrows, np.int32)
+        for r, toks in enumerate(py_rows):
+            vals = [float(v) for v in toks[:maxcols]]
+            rows[r, : len(vals)] = vals
+            ncols[r] = len(vals)
+        return rows, ncols, k
 
     while i < len(lines):
         s = _strip(lines[i])
@@ -130,41 +150,39 @@ def read_data(path: str, atom_style: str = "ucg") -> DataFile:
             continue
         name = s
         if name == "Masses":
-            rows, i = read_section(i + 1, df.n_types)
-            for r in rows:
-                df.masses[int(r[0])] = float(r[1])
+            rows, _, i = read_section(i + 1, df.n_types, 2)
+            df.masses[rows[:, 0].astype(int)] = rows[:, 1]
         elif name.startswith("Atoms"):
-            rows, i = read_section(i + 1, n)
-            for r in rows:
-                aid = int(r[0])
-                k = aid - 1
-                df.ids[k] = aid
-                if atom_style in ("ucg", "full", "molecular"):
-                    df.mol[k] = int(r[1])
-                    df.typ[k] = int(r[2])
-                    c = 3
-                    if atom_style in ("ucg", "full"):
-                        df.q[k] = float(r[3])
-                        c = 4
-                else:  # atomic
-                    df.typ[k] = int(r[1])
-                    c = 2
-                df.x[k] = [float(r[c]), float(r[c + 1]), float(r[c + 2])]
+            rows, ncols, i = read_section(i + 1, n, 16)
+            k = rows[:, 0].astype(np.int64) - 1          # by atom id
+            df.ids[k] = rows[:, 0].astype(np.int64)
+            if atom_style in ("ucg", "full", "molecular"):
+                df.mol[k] = rows[:, 1].astype(np.int64)
+                df.typ[k] = rows[:, 2].astype(np.int64)
+                c = 3
+                if atom_style in ("ucg", "full"):
+                    df.q[k] = rows[:, 3]
+                    c = 4
+            else:  # atomic
+                df.typ[k] = rows[:, 1].astype(np.int64)
+                c = 2
+            df.x[k] = rows[:, c:c + 3]
+            c += 3
+            if atom_style == "ucg":
+                df.ucgstate[k] = rows[:, c].astype(np.int64)
+                df.ucgl[k] = rows[:, c + 1]
+                df.ucgml[k] = rows[:, c + 2]
                 c += 3
-                if atom_style == "ucg":
-                    df.ucgstate[k] = int(float(r[c]))
-                    df.ucgl[k] = float(r[c + 1])
-                    df.ucgml[k] = float(r[c + 2])
-                    c += 3
-                if len(r) >= c + 3:   # trailing image flags
-                    df.image[k] = [int(r[c]), int(r[c + 1]), int(r[c + 2])]
+            has_img = ncols >= c + 3
+            if np.any(has_img):
+                df.image[k[has_img]] = rows[has_img, c:c + 3].astype(np.int64)
         elif name == "Velocities":
-            rows, i = read_section(i + 1, n)
-            for r in rows:
-                k = int(r[0]) - 1
-                df.v[k] = [float(r[1]), float(r[2]), float(r[3])]
-                if atom_style == "ucg" and len(r) >= 5:
-                    df.ucgvl[k] = float(r[4])
+            rows, ncols, i = read_section(i + 1, n, 8)
+            k = rows[:, 0].astype(np.int64) - 1
+            df.v[k] = rows[:, 1:4]
+            if atom_style == "ucg":
+                has_vl = ncols >= 5
+                df.ucgvl[k[has_vl]] = rows[has_vl, 4]
         elif name in ("Bonds", "Angles", "Dihedrals", "Impropers"):
             nrows = counts.get(name.lower(), counts.get(name.lower()[:-1] + "s", 0))
             nrows = counts.get({"Bonds": "bonds", "Angles": "angles",

