@@ -61,25 +61,81 @@ def compute(state: SimState, nbr: NeighborList, params: UCGLDParams) -> ForceOut
     is_ucg = tp.n_states[typ] > 1
     ucgstate = state.ucgstate
 
+    fast = bool(bank.uniform) and tp.pair_pack is not None
+    if fast:
+        # gather-minimal path: 3 row-gathers per pair (atom row, table row,
+        # pair-type row) instead of ~9 elementwise gathers — TPU gathers cost
+        # ~4 ns/INDEX regardless of row width, so packing contiguous rows is
+        # the dominant optimization (see TableBank docstring).
+        ntypes1 = tp.cutsq.shape[0]
+        NT = bank.n_tables
+        L = bank.nbins
+        atompack = jnp.concatenate([
+            x,
+            wi_all[:, 1:2],
+            ucgstate.astype(x.dtype)[:, None],
+            typ.astype(x.dtype)[:, None],
+        ], axis=1)                                          # (N, 6)
+        inn0 = bank.innersq[0]
+        invd0 = bank.invdelta[0]
+
     def rows(args):
         """Per-row-block pair evaluation; everything per-atom-owned."""
         idx_r, xi, ti_r, wi_r = args
         valid = idx_r < n
         jc = jnp.where(valid, idx_r, 0)
-        xj = jnp.take(x, jc, axis=0)
-        dr = box.min_image(xi[:, None, :] - xj)
-        rsq = jnp.sum(dr * dr, axis=-1)
-        ti = ti_r[:, None]
-        tj = typ[jc]
-        within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
 
-        t4 = common.take2d(tp.tab4, ti, tj)
-        e4, fp4, lo, hi = bank.interp(t4, rsq[..., None, None])
-        w4 = within[..., None, None]
-        e4 = jnp.where(w4, e4, 0.0)
-        fp4 = jnp.where(w4, fp4, 0.0)
+        if fast:
+            jrow = jnp.take(atompack, jc, axis=0)           # (rows, K, 6)
+            xj = jrow[..., :3]
+            dr = box.min_image(xi[:, None, :] - xj)
+            rsq = jnp.sum(dr * dr, axis=-1)
+            w1j = jrow[..., 3]
+            jstate_f = jrow[..., 4]
+            tj = jrow[..., 5].astype(jnp.int32)
+            ptype = ti_r[:, None] * ntypes1 + tj
+            prow = jnp.take(tp.pair_pack, ptype, axis=0)    # (rows, K, 1+4NT)
+            within = valid & (rsq < prow[..., 0])
 
-        wj = wi_all[jc]                                     # (rows, K, 2)
+            xbin = (rsq - inn0) * invd0
+            it = jnp.clip(xbin.astype(jnp.int32), 0, L - 2)
+            frac = (xbin - it.astype(xbin.dtype))[..., None]
+            trow = jnp.take(bank.upacked, it, axis=0)       # (rows, K, NT*4)
+            trow = trow.reshape(trow.shape[:-1] + (NT, 4))
+            e_all = trow[..., 0] + frac * trow[..., 1]      # (rows, K, NT)
+            f_all = trow[..., 2] + frac * trow[..., 3]
+            oh = prow[..., 1:].reshape(prow.shape[:-1] + (4, NT))
+            e4 = jnp.einsum("nkct,nkt->nkc", oh, e_all)
+            fp4 = jnp.einsum("nkct,nkt->nkc", oh, f_all)
+            e4 = e4.reshape(e4.shape[:-1] + (2, 2))
+            fp4 = fp4.reshape(fp4.shape[:-1] + (2, 2))
+            lo = rsq < inn0
+            hi = xbin >= (L - 1)
+            w4 = within[..., None, None]
+            e4 = jnp.where(w4, e4, 0.0)
+            fp4 = jnp.where(w4, fp4, 0.0)
+            wj = jnp.stack([1.0 - w1j, w1j], axis=-1)       # (rows, K, 2)
+            jstate = jnp.where(within, jstate_f > 0.5, False)
+            oob_lo = jnp.sum(jnp.where(within, lo, False))
+            oob_hi = jnp.sum(jnp.where(within, hi, False))
+        else:
+            xj = jnp.take(x, jc, axis=0)
+            dr = box.min_image(xi[:, None, :] - xj)
+            rsq = jnp.sum(dr * dr, axis=-1)
+            ti = ti_r[:, None]
+            tj = typ[jc]
+            within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
+
+            t4 = common.take2d(tp.tab4, ti, tj)
+            e4, fp4, lo, hi = bank.interp(t4, rsq[..., None, None])
+            w4 = within[..., None, None]
+            e4 = jnp.where(w4, e4, 0.0)
+            fp4 = jnp.where(w4, fp4, 0.0)
+            wj = wi_all[jc]                                 # (rows, K, 2)
+            jstate = jnp.where(within, ucgstate[jc] > 0, False)
+            oob_lo = jnp.sum(jnp.where(w4, lo, False))
+            oob_hi = jnp.sum(jnp.where(w4, hi, False))
+
         fmix = common.mix(fp4, wi_r, wj)
         emix = common.mix(e4, wi_r, wj)
 
@@ -90,14 +146,10 @@ def compute(state: SimState, nbr: NeighborList, params: UCGLDParams) -> ForceOut
         du = e4[..., 1, :] - e4[..., 0, :]                  # (rows, K, 2)
         lamf_r = -jnp.einsum("nkt,nkt->n", wj, du)
 
-        jstate = jnp.where(within, ucgstate[jc], 0)
-        u_at_js = jnp.take_along_axis(
-            e4, jstate[:, :, None, None].astype(jnp.int32), axis=3
-        )[..., 0]                                           # (rows, K, 2)
+        # pseudolikelihood tallies at the partner's current discrete state
+        u_at_js = jnp.where(jstate[..., None], e4[..., :, 1], e4[..., :, 0])
         scores_r = -jnp.sum(u_at_js, axis=1) / kT
 
-        oob_lo = jnp.sum(jnp.where(w4, lo, False))
-        oob_hi = jnp.sum(jnp.where(w4, hi, False))
         return f_r, lamf_r, scores_r, pe_r, vir_r, oob_lo, oob_hi
 
     chunk = params.chunk

@@ -40,6 +40,10 @@ class UCGTypeParams:
     use_entropy: jax.Array    # (T+1,) int32
     cv_threshold: jax.Array   # (T+1,)
     threshold_radius: jax.Array  # (T+1,)
+    # uniform-bank fast-path data: row per flattened (ti, tj) pair type:
+    # [cutsq, onehot(tab of combo 00) .. onehot(combo 11)] — fetched with ONE
+    # gather per pair alongside the uniform table row (see pair_ucgld).
+    pair_pack: jax.Array | None = None   # ((T+1)^2, 1 + 4*n_tables)
 
     def is_ucg(self, typ: jax.Array) -> jax.Array:
         return self.n_states[typ] > 1
@@ -164,6 +168,17 @@ class TablePairBuilder:
             mu[formal[:, 1]] - mu[formal[:, 0]],
             0.0,
         )
+        # fast-path pair pack: per flattened (ti, tj): cutsq + one-hot combo
+        # table selectors (used with TableBank.upacked)
+        NT = len(self.tables)
+        pair_pack = np.zeros(((T + 1) * (T + 1), 1 + 4 * NT))
+        for i in range(1, T + 1):
+            for j in range(1, T + 1):
+                row = pair_pack[i * (T + 1) + j]
+                row[0] = cutsq[i, j]
+                for c, (si, sj) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                    row[1 + c * NT + tab4[i, j, si, sj]] = 1.0
+
         tp = UCGTypeParams(
             n_states=jnp.asarray(st.n_states_per_type, jnp.int32),
             formal=jnp.asarray(formal, jnp.int32),
@@ -175,6 +190,7 @@ class TablePairBuilder:
             use_entropy=jnp.asarray(st.use_entropy, jnp.int32),
             cv_threshold=jnp.asarray(st.cv_thresholds, dtype),
             threshold_radius=jnp.asarray(st.threshold_radii, dtype),
+            pair_pack=jnp.asarray(pair_pack, dtype),
         )
         return bank, tp
 

@@ -155,7 +155,7 @@ def build_table(tb: RawTable, tabstyle: str, tablength: int, cut: float) -> Buil
     raise ValueError(f"Unknown table style {tabstyle!r}")
 
 
-@pytree_dataclass(meta_fields=("style", "nbins"))
+@pytree_dataclass(meta_fields=("style", "nbins", "uniform"))
 class TableBank:
     """All tables of a pair style, stacked on device.
 
@@ -186,6 +186,12 @@ class TableBank:
     f2: jax.Array         # (T, L)
     packed: jax.Array     # (T*L, C): LOOKUP [e,f]; LINEAR [e,de,f,df];
                           # SPLINE [e,f,e2,f2]
+    # Uniform-binning fast path (all tables share innersq/delta/cut; the
+    # common production case): one row of ``upacked`` holds ALL tables'
+    # channels at a bin, so a pair needs ONE gather index for every state
+    # combination instead of one per combination.
+    uniform: bool = False
+    upacked: jax.Array | None = None    # (L, T*C) when uniform
 
     @property
     def n_tables(self) -> int:
@@ -219,6 +225,19 @@ class TableBank:
         else:
             raise NotImplementedError(f"table style {style!r}")
         packed = jnp.stack(channels, axis=-1).reshape(len(tables) * L, -1)
+        inn = np.asarray([t.innersq for t in tables])
+        dlt = np.asarray([t.delta for t in tables])
+        uniform = (
+            style == LINEAR
+            and len({len(t.e) for t in tables}) == 1
+            and bool(np.all(np.abs(inn - inn[0]) <= 1e-12 * max(1.0, abs(inn[0]))))
+            and bool(np.all(np.abs(dlt - dlt[0]) <= 1e-12 * dlt[0]))
+        )
+        upacked = None
+        if uniform:
+            C = packed.shape[-1]
+            upacked = packed.reshape(len(tables), L, C).transpose(1, 0, 2)
+            upacked = upacked.reshape(L, len(tables) * C)
         return TableBank(
             style=style,
             nbins=L,
@@ -229,6 +248,8 @@ class TableBank:
             deltasq6=jnp.asarray([t.deltasq6 for t in tables], dtype),
             e=e, f=f, de=de, df=df, e2=e2, f2=f2,
             packed=packed,
+            uniform=uniform,
+            upacked=upacked,
         )
 
     def interp(self, t: jax.Array, rsq: jax.Array):

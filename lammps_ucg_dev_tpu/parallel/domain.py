@@ -73,7 +73,7 @@ def distribute(sim, mesh: Mesh, axis: str = "atoms"):
     on the sharded inputs; XLA partitions them SPMD."""
     sim.state = shard_state(sim.state, mesh, axis)
     sim.pair_params = shard_params(sim.pair_params, mesh)
-    sim._mass = jax.device_put(
-        sim._mass, NamedSharding(mesh, P(axis)))
+    sim._masses_by_type = jax.device_put(
+        sim._masses_by_type, NamedSharding(mesh, P()))
     sim._fcarry = None
     return sim

@@ -85,6 +85,7 @@ class Simulation:
         self.nbr_spec = nbr_spec
         self.cfg = cfg
         self.extra_post_force = extra_post_force
+        self._masses_by_type = jnp.asarray(system.masses, dtype=state.x.dtype)
         self.cswitch = cluster_switch
         self.cswitch_stats = (
             fcs.ClusterSwitchStats.zeros(state.x.dtype) if cluster_switch else None
@@ -99,7 +100,6 @@ class Simulation:
                     f"reneigh_every (got {freq} vs {cfg.reneigh_every})"
                 )
             self._cswitch_jit = jax.jit(self._cswitch_impl)
-        self._mass = system.mass_per_atom(state.typ, dtype=state.x.dtype)
         self._fcarry: ForceOut | None = None
         self._nbr = None
         self._block = jax.jit(
@@ -154,13 +154,14 @@ class Simulation:
 
         def body(carry, _):
             state, fout = carry
+            mass = self._masses_by_type[state.typ]
             state = fi.initial_integrate(
-                state, fout.f, fout.ucgforce, self._mass, cfg.dt, cfg.u.ftm2v,
+                state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
                 cfg.integrator,
             )
             state, fout = self._forces(state, nbr, run_window)
             state = fi.final_integrate(
-                state, fout.f, fout.ucgforce, self._mass, cfg.dt, cfg.u.ftm2v,
+                state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
                 cfg.integrator,
             )
             state = dataclasses.replace(state, step=state.step + 1)
@@ -309,7 +310,8 @@ class Simulation:
         state, fout = self.state, self._fcarry
         u = self.cfg.u
         n = state.n_atoms
-        ke = 0.5 * float(jnp.sum(self._mass * jnp.sum(state.v**2, axis=-1))) * u.mvv2e
+        mass = self._masses_by_type[state.typ]
+        ke = 0.5 * float(jnp.sum(mass * jnp.sum(state.v**2, axis=-1))) * u.mvv2e
         dof = max(3 * n - 3, 1)
         temp = 2.0 * ke / (dof * u.boltz)
         pe = float(fout.pe)
