@@ -53,7 +53,7 @@ from lammps_ucg_dev_tpu.ops.table import TableBank
 _EPSILONE = 1.0e-6
 
 
-@pytree_dataclass(meta_fields=("method", "pseudo", "prior_mode"))
+@pytree_dataclass(meta_fields=("method", "pseudo", "prior_mode", "chunk"))
 class BetheParams:
     bank: TableBank
     tp: UCGTypeParams
@@ -64,6 +64,7 @@ class BetheParams:
     method: str = "bethe"      # "bethe" | "mf"
     pseudo: bool = True        # pseudolikelihood vs full-SCE scores
     prior_mode: str = "ucgl"   # "ucgl" | "chemical_potential" | "chemical_potential_noise"
+    chunk: int = 0             # row-chunk size for the pair loop (0 = unchunked)
 
 
 def make_params(bank: TableBank, tp: UCGTypeParams, kT: float,
@@ -149,56 +150,132 @@ def bethe_pij(u4: jax.Array, pi1: jax.Array, pj1: jax.Array, kT,
 def compute(state: SimState, nbr: NeighborList, params: BetheParams) -> ForceOut:
     x, typ = state.x, state.typ
     bank, tp = params.bank, params.tp
+    box = state.box
+    n = x.shape[0]
     kT = params.kT
 
-    jc, valid, dr, rsq = common.pair_geometry(x, state.box, nbr)
-    ti = typ[:, None]
-    tj = typ[jc]
-    within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
-
-    e4, fp4, oob_lo, oob_hi = common.eval_state_block(bank, tp, ti, tj, rsq, within)
-
-    pi1, pj1 = _priors(state, params)
-    p4 = bethe_pij(e4, pi1[:, None], pj1[jc], kT, params.method)
-    p4 = jnp.where(within[..., None, None], p4, 0.0)
-
-    emix = jnp.sum(p4 * e4, axis=(-1, -2))
-    fmix = jnp.sum(p4 * fp4, axis=(-1, -2))
-
-    f = jnp.sum(fmix[..., None] * dr, axis=1)
-    pe = 0.5 * jnp.sum(emix)
-    virial = common.pair_virial(fmix, dr)
-
-    # ---- softmax scores ---------------------------------------------------
+    pi1_all, pj1_all = _priors(state, params)
     is_ucg = tp.n_states[typ] > 1
-    is_ucg_j = (tp.n_states[tj] > 1) & within
+    ucgstate = state.ucgstate
 
-    if params.pseudo:
-        # pseudolikelihood at current discrete neighbor states (:526-539);
-        # UCG-nonUCG pairs use jstate = 0, identical to the reference's
-        # ungated scenario-3 tallies (:443-447)
-        jstate = jnp.where(within, state.ucgstate[jc], 0)
-        u_at_js = jnp.take_along_axis(
-            e4, jstate[:, :, None, None].astype(jnp.int32), axis=3
-        )[..., 0]                                       # (N, K, 2)
-        pair_scores = -u_at_js / kT
+    fast = bool(bank.uniform) and tp.pair_pack is not None
+    if fast:
+        # gather-minimal path (see pair_ucgld): 3 row-gathers per pair
+        ntypes1 = tp.cutsq.shape[0]
+        NT = bank.n_tables
+        L = bank.nbins
+        atompack = jnp.concatenate([
+            x,
+            pj1_all[:, None],
+            ucgstate.astype(x.dtype)[:, None],
+            typ.astype(x.dtype)[:, None],
+            is_ucg.astype(x.dtype)[:, None],
+        ], axis=1)                                          # (N, 7)
+        inn0 = bank.innersq[0]
+        invd0 = bank.invdelta[0]
+
+    def rows(args):
+        idx_r, xi, ti_r, pi1_r = args
+        valid = idx_r < n
+        jc = jnp.where(valid, idx_r, 0)
+
+        if fast:
+            jrow = jnp.take(atompack, jc, axis=0)
+            xj = jrow[..., :3]
+            dr = box.min_image(xi[:, None, :] - xj)
+            rsq = jnp.sum(dr * dr, axis=-1)
+            pj1_j = jrow[..., 3]
+            jstate = jrow[..., 4] > 0.5
+            tj = jrow[..., 5].astype(jnp.int32)
+            is_ucg_j = jrow[..., 6] > 0.5
+            ptype = ti_r[:, None] * ntypes1 + tj
+            prow = jnp.take(tp.pair_pack, ptype, axis=0)
+            within = valid & (rsq < prow[..., 0])
+
+            xbin = (rsq - inn0) * invd0
+            it = jnp.clip(xbin.astype(jnp.int32), 0, L - 2)
+            frac = (xbin - it.astype(xbin.dtype))[..., None]
+            trow = jnp.take(bank.upacked, it, axis=0)
+            trow = trow.reshape(trow.shape[:-1] + (NT, 4))
+            e_all = trow[..., 0] + frac * trow[..., 1]
+            f_all = trow[..., 2] + frac * trow[..., 3]
+            oh = prow[..., 1:].reshape(prow.shape[:-1] + (4, NT))
+            e4 = jnp.einsum("nkct,nkt->nkc", oh, e_all)
+            fp4 = jnp.einsum("nkct,nkt->nkc", oh, f_all)
+            e4 = e4.reshape(e4.shape[:-1] + (2, 2))
+            fp4 = fp4.reshape(fp4.shape[:-1] + (2, 2))
+            w4 = within[..., None, None]
+            e4 = jnp.where(w4, e4, 0.0)
+            fp4 = jnp.where(w4, fp4, 0.0)
+            oob_lo = jnp.sum(jnp.where(within, rsq < inn0, False))
+            oob_hi = jnp.sum(jnp.where(within, xbin >= (L - 1), False))
+        else:
+            xj = jnp.take(x, jc, axis=0)
+            dr = box.min_image(xi[:, None, :] - xj)
+            rsq = jnp.sum(dr * dr, axis=-1)
+            ti = ti_r[:, None]
+            tj = typ[jc]
+            within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
+            e4, fp4, oob_lo, oob_hi = common.eval_state_block(
+                bank, tp, ti, tj, rsq, within)
+            pj1_j = pj1_all[jc]
+            jstate = jnp.where(within, ucgstate[jc] > 0, False)
+            is_ucg_j = tp.n_states[tj] > 1
+
+        pj1_j = jnp.where(within, pj1_j, 0.0)
+        p4 = bethe_pij(e4, pi1_r[:, None], pj1_j, kT, params.method)
+        p4 = jnp.where(within[..., None, None], p4, 0.0)
+
+        emix = jnp.sum(p4 * e4, axis=(-1, -2))
+        fmix = jnp.sum(p4 * fp4, axis=(-1, -2))
+
+        f_r = jnp.sum(fmix[..., None] * dr, axis=1)
+        pe_r = 0.5 * jnp.sum(emix)
+        vir_r = common.pair_virial(fmix, dr)
+
+        if params.pseudo:
+            # pseudolikelihood at current discrete neighbor states (:526-539);
+            # UCG-nonUCG pairs use jstate = 0, identical to the reference's
+            # ungated scenario-3 tallies (:443-447)
+            u_at_js = jnp.where(jstate[..., None], e4[..., :, 1], e4[..., :, 0])
+            pair_scores = -u_at_js / kT
+        else:
+            # full-SCE: score_i[s] -= Σ_s' p(s'|s) u(s, s') / kT for UCG-UCG
+            # pairs (:583-601, intended conditional pairing); scenario-3 style
+            # pseudolikelihood tallies for UCG-nonUCG pairs (:443-447)
+            pi = jnp.stack([1.0 - pi1_r, pi1_r], axis=-1)[:, None, :, None]
+            cond = p4 / jnp.maximum(pi, _EPSILONE)      # p(sj | si)
+            sce = -jnp.sum(cond * e4, axis=3) / kT      # (rows, K, 2)
+            plain = -e4[..., 0] / kT                    # partner single-state
+            pair_scores = jnp.where((is_ucg_j & within)[..., None], sce, plain)
+
+        scores_r = jnp.sum(jnp.where(within[..., None], pair_scores, 0.0), axis=1)
+        return f_r, scores_r, pe_r, vir_r, oob_lo, oob_hi
+
+    chunk = params.chunk
+    if chunk and n % chunk == 0 and n > chunk:
+        nc = n // chunk
+        f, scores, pe_c, vir_c, lo_c, hi_c = jax.lax.map(
+            rows,
+            (nbr.idx.reshape(nc, chunk, -1), x.reshape(nc, chunk, 3),
+             typ.reshape(nc, chunk), pi1_all.reshape(nc, chunk)),
+        )
+        f = f.reshape(n, 3)
+        scores = scores.reshape(n, 2)
+        pe = jnp.sum(pe_c)
+        virial = jnp.sum(vir_c, axis=0)
+        oob_lo = jnp.sum(lo_c)
+        oob_hi = jnp.sum(hi_c)
     else:
-        # full-SCE: score_i[s] -= Σ_s' p(s'|s) u(s, s') / kT for UCG-UCG
-        # pairs (:583-601, intended conditional pairing); scenario-3 style
-        # pseudolikelihood tallies for UCG-nonUCG pairs (:443-447)
-        pi = jnp.stack([1.0 - pi1, pi1], axis=-1)[:, None, :, None]   # (N,1,2,1)
-        cond = p4 / jnp.maximum(pi, _EPSILONE)          # p(sj | si)
-        sce = -jnp.sum(cond * e4, axis=3) / kT          # (N, K, 2)
-        plain = -e4[..., 0] / kT                        # partner single-state
-        pair_scores = jnp.where(is_ucg_j[..., None], sce, plain)
+        f, scores, pe, virial, oob_lo, oob_hi = rows(
+            (nbr.idx, x, typ, pi1_all))
 
-    scores = jnp.sum(jnp.where(within[..., None], pair_scores, 0.0), axis=1)
     # chemical-potential initialization (:155-162)
     mu_i = params.tp.mu[tp.formal[typ]]                 # (N, 2)
     scores = scores - mu_i / kT
     scores = jnp.where(is_ucg[:, None], scores, 0.0)
 
     return ForceOut(
-        f=f, ucgforce=jnp.zeros_like(pi1), scores=scores, pe=pe,
+        f=f, ucgforce=jnp.zeros_like(pi1_all), scores=scores, pe=pe,
         virial=virial, oob_low=oob_lo, oob_high=oob_hi,
     )

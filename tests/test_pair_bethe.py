@@ -176,3 +176,15 @@ def test_self_consistent_stepping(rng):
     assert np.all(np.isfinite(np.asarray(sim.state.x)))
     # ucgl tracks ucgp each step (fix ucgstate default mode)
     np.testing.assert_allclose(np.asarray(sim.state.ucgl), p)
+
+
+def test_chunked_matches_unchunked(rng):
+    st, bank, tp, rc, state, nbr, params = _setup(rng, pseudo=True, n=48, L=8.0)
+    out1 = pair_bethe.compute(state, nbr, params)
+    out2 = pair_bethe.compute(state, nbr,
+                              dataclasses.replace(params, chunk=16))
+    np.testing.assert_allclose(np.asarray(out1.f), np.asarray(out2.f),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out1.scores),
+                               np.asarray(out2.scores), atol=1e-12)
+    np.testing.assert_allclose(float(out1.pe), float(out2.pe), atol=1e-12)
