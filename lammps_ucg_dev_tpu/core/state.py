@@ -102,6 +102,7 @@ class SimState:
     step: jax.Array          # () int32
     x: jax.Array             # (N, 3)
     v: jax.Array             # (N, 3)
+    tag: jax.Array           # (N,) int32 atom ids (stable under reordering)
     typ: jax.Array           # (N,) int32, 1-based LAMMPS "actual" types
     mol: jax.Array           # (N,) int32 molecule ids
     q: jax.Array             # (N,) charge
@@ -118,11 +119,21 @@ class SimState:
     def n_atoms(self) -> int:
         return self.x.shape[0]
 
+    def permute(self, order: jax.Array) -> "SimState":
+        """Reorder atoms (e.g. by cell for memory locality). ``tag``
+        preserves identity for I/O, like LAMMPS's atom tags under
+        migration."""
+        per_atom = ("x", "v", "tag", "typ", "mol", "q", "image", "ucgstate",
+                    "ucgl", "ucgvl", "ucgml", "ucgp")
+        upd = {f: jnp.take(getattr(self, f), order, axis=0) for f in per_atom}
+        return dataclasses.replace(self, **upd)
+
     @staticmethod
     def create(
         x,
         v=None,
         typ=None,
+        tag=None,
         mol=None,
         q=None,
         ucgstate=None,
@@ -148,10 +159,15 @@ class SimState:
             v = jnp.asarray(v, dtype=dtype)
         if box is None:
             box = Box.create(jnp.min(x, 0), jnp.max(x, 0), dtype=dtype)
+        if tag is None:
+            tag = jnp.arange(1, n + 1, dtype=jnp.int32)
+        else:
+            tag = jnp.asarray(tag, jnp.int32)
         return SimState(
             step=jnp.zeros((), jnp.int32),
             x=x,
             v=v,
+            tag=tag,
             typ=arr(typ, 1, jnp.int32),
             mol=arr(mol, 0, jnp.int32),
             q=arr(q, 0.0),

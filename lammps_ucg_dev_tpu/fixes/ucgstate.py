@@ -45,7 +45,8 @@ def post_force(key: jax.Array, state: SimState, scores: jax.Array,
         odds = jnp.where(state.ucgstate == 0, ucgp / (1.0 - ucgp),
                          (1.0 - ucgp) / ucgp)
         mc_factor = jnp.minimum(odds, 1.0) * cfg.mc_rate
-        rand = jax.random.uniform(key, ucgp.shape, dtype=ucgp.dtype)
+        rand = jnp.take(jax.random.uniform(key, ucgp.shape, dtype=ucgp.dtype),
+                        state.tag - 1)
         accept = rand < mc_factor
         if cfg.compat_reference_mc:
             new_state = jnp.where(accept, 0, 1)          # literal :118-122

@@ -222,6 +222,7 @@ def write_data(path: str, state, system, comment: str = "") -> None:
         for t in range(1, system.ntypes + 1):
             fh.write(f"{t} {system.masses[t]:.15g}\n")
         fh.write("\nAtoms # ucg\n\n")
+        tag = np.asarray(state.tag)
         mol = np.asarray(state.mol)
         typ = np.asarray(state.typ)
         q = np.asarray(state.q)
@@ -231,7 +232,7 @@ def write_data(path: str, state, system, comment: str = "") -> None:
         im = np.asarray(state.image)
         for k in range(n):
             fh.write(
-                f"{k + 1} {mol[k]} {typ[k]} {q[k]:.15g} "
+                f"{tag[k]} {mol[k]} {typ[k]} {q[k]:.15g} "
                 f"{x[k, 0]:.15g} {x[k, 1]:.15g} {x[k, 2]:.15g} "
                 f"{us[k]} {ul[k]:.15g} {um[k]:.15g} "
                 f"{im[k, 0]} {im[k, 1]} {im[k, 2]}\n"
@@ -240,6 +241,6 @@ def write_data(path: str, state, system, comment: str = "") -> None:
         uvl = np.asarray(state.ucgvl)
         for k in range(n):
             fh.write(
-                f"{k + 1} {v[k, 0]:.15g} {v[k, 1]:.15g} {v[k, 2]:.15g} "
+                f"{tag[k]} {v[k, 0]:.15g} {v[k, 1]:.15g} {v[k, 2]:.15g} "
                 f"{uvl[k]:.15g}\n"
             )

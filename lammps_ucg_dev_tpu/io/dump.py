@@ -32,7 +32,7 @@ def _column(state, name, ids):
     v = np.asarray(state.v)
     n = x.shape[0]
     cols = {
-        "id": ids,
+        "id": np.asarray(state.tag),
         "mol": np.asarray(state.mol),
         "type": np.asarray(state.typ),
         "q": np.asarray(state.q),

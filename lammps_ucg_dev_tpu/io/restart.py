@@ -28,6 +28,7 @@ def write_restart(path: str, state: SimState, extra: dict | None = None) -> None
         "step": np.asarray(state.step),
         "x": np.asarray(state.x),
         "v": np.asarray(state.v),
+        "tag": np.asarray(state.tag),
         "typ": np.asarray(state.typ),
         "mol": np.asarray(state.mol),
         "q": np.asarray(state.q),
@@ -61,6 +62,8 @@ def read_restart(path: str, dtype=jnp.float32):
         step=jnp.asarray(z["step"], jnp.int32),
         x=jnp.asarray(z["x"], dtype),
         v=jnp.asarray(z["v"], dtype),
+        tag=(jnp.asarray(z["tag"], jnp.int32) if "tag" in z.files
+             else jnp.arange(1, z["x"].shape[0] + 1, dtype=jnp.int32)),
         typ=jnp.asarray(z["typ"], jnp.int32),
         mol=jnp.asarray(z["mol"], jnp.int32),
         q=jnp.asarray(z["q"], dtype),

@@ -35,7 +35,7 @@ def make_mesh(n_devices: int | None = None, axis: str = "atoms") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-_PER_ATOM_FIELDS = ("x", "v", "typ", "mol", "q", "image", "ucgstate",
+_PER_ATOM_FIELDS = ("x", "v", "tag", "typ", "mol", "q", "image", "ucgstate",
                     "ucgl", "ucgvl", "ucgml", "ucgp")
 
 

@@ -45,6 +45,9 @@ class SimConfig:
     ucgstate: fs.UCGStateCfg | None = None
     reneigh_every: int = 10
     check_safety: bool = True     # fetch overflow/danger flags every block
+    sort_atoms: bool = False      # reorder atoms by cell at reneighbor for
+                                  # gather locality (LAMMPS atom-sort analogue;
+                                  # identity preserved via SimState.tag)
 
     @property
     def u(self) -> units_mod.UnitSystem:
@@ -150,6 +153,17 @@ class Simulation:
         cfg = self.cfg
         x_w, image = state.box.wrap(state.x, state.image)
         state = dataclasses.replace(state, x=x_w, image=image)
+        if cfg.sort_atoms and self.nbr_spec.method == "cell":
+            cps = np.asarray(self.nbr_spec.cells_per_side)
+            cid, _ = nbrmod._cell_index(state.x, state.box, cps)
+            order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+            state = state.permute(order)
+            fcarry = dataclasses.replace(
+                fcarry,
+                f=jnp.take(fcarry.f, order, axis=0),
+                ucgforce=jnp.take(fcarry.ucgforce, order, axis=0),
+                scores=jnp.take(fcarry.scores, order, axis=0),
+            )
         nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
 
         def body(carry, _):

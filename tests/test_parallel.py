@@ -94,3 +94,25 @@ def test_chunked_pair_matches_unchunked(rng):
     sim2.run(10)
     np.testing.assert_allclose(np.asarray(sim2.state.x),
                                np.asarray(sim1.state.x), atol=1e-12)
+
+
+def test_sorted_atoms_match_unsorted(rng):
+    """Cell-order atom sorting changes memory layout, not physics; the dump
+    (id-tagged) output is identical."""
+    import dataclasses as dc
+
+    from lammps_ucg_dev_tpu.io import dump as dmp
+
+    sim1 = _build_sim(rng, n=512, L=12.0, method="cell")
+    sim2 = _build_sim(np.random.default_rng(12345), n=512, L=12.0,
+                      method="cell")
+    sim2.cfg = dc.replace(sim2.cfg, sort_atoms=True)
+    sim1.run(20)
+    sim2.run(20)
+    # compare by tag (sim2's row order differs)
+    tag2 = np.asarray(sim2.state.tag)
+    order = np.argsort(tag2)
+    np.testing.assert_allclose(np.asarray(sim2.state.x)[order],
+                               np.asarray(sim1.state.x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sim2.state.ucgl)[order],
+                               np.asarray(sim1.state.ucgl), atol=1e-12)
