@@ -115,3 +115,152 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=1000)
     args = ap.parse_args()
     print(write_ucgld_deck(args.outdir, n=args.n, nsteps=args.steps))
+
+
+def write_bethe_deck(outdir: str, n: int = 512, rho: float = 0.5,
+                     rc: float = 2.5, nsteps: int = 200, dt: float = 0.002,
+                     T: float = 0.8, pseudo: str = "yes", method: str = "bethe",
+                     thermo_every: int = 50, seed: int = 11,
+                     tablength: int = 1200) -> str:
+    """Config-3 style deck: two-state self-consistent Bethe UCG +
+    fix ucgstate."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    L = (n / rho) ** (1 / 3)
+    x = lattice_positions(n, L, seed=seed)
+    write_table_file(os.path.join(outdir, "ucg.table"), {
+        "UCG_00": soft_table(1.0, rc), "UCG_01": soft_table(0.6, rc),
+        "UCG_10": soft_table(0.6, rc), "UCG_11": soft_table(0.25, rc),
+    })
+    with open(os.path.join(outdir, "ucg.settings"), "w") as fh:
+        fh.write("1 2 2\n1 2\n1 2\n0.0 0.3\n")
+    with open(os.path.join(outdir, "system.data"), "w") as fh:
+        fh.write("two-state self-consistent Bethe UCG\n\n")
+        fh.write(f"{n} atoms\n1 atom types\n\n")
+        fh.write(f"0 {L:.10g} xlo xhi\n0 {L:.10g} ylo yhi\n0 {L:.10g} zlo zhi\n\n")
+        fh.write("Masses\n\n1 1.0\n\nAtoms # ucg\n\n")
+        lam0 = rng.uniform(0.3, 0.7, n)
+        for k in range(n):
+            fh.write(f"{k + 1} {k + 1} 1 0.0 {x[k, 0]:.10g} {x[k, 1]:.10g} "
+                     f"{x[k, 2]:.10g} {int(lam0[k] > 0.5)} {lam0[k]:.6f} 5.0\n")
+    lines = [
+        "units lj", "atom_style ucg", "read_data system.data",
+        f"pair_style table_ucg_bethe linear {tablength} ucg.settings "
+        f"method {method} pseudo {pseudo} prior chemical_potential",
+        "pair_coeff 1 1 2 2 "
+        f"ucg.table UCG_00 {rc} ucg.table UCG_01 {rc} "
+        f"ucg.table UCG_10 {rc} ucg.table UCG_11 {rc}",
+        "neighbor 0.4 bin", "neigh_modify every 5",
+        f"timestep {dt}", f"velocity all create {T} {seed + 1}",
+        "fix 1 all nve/ucgld",
+        f"fix 2 all ucgld/langevin {T} {T} 0.5 {seed + 2}",
+        "fix 3 all ucgstate",
+        f"thermo {thermo_every}", f"run {nsteps}",
+    ]
+    path = os.path.join(outdir, "in.bethe")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path
+
+
+def write_bethe_density_deck(outdir: str, n: int = 512, rho: float = 0.5,
+                             rc: float = 2.5, nsteps: int = 100,
+                             dt: float = 0.002, T: float = 0.8,
+                             switch_freq: int = 20, thermo_every: int = 50,
+                             seed: int = 13, tablength: int = 1200) -> str:
+    """Config-4 style deck: density-dependent states (2 actual types: CG
+    solvent + density-CV UCG) + fix cluster_switch."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    L = (n / rho) ** (1 / 3)
+    x = lattice_positions(n, L, seed=seed)
+    typ = np.where(rng.uniform(size=n) < 0.7, 2, 1)
+    write_table_file(os.path.join(outdir, "ucg.table"), {
+        "T11": soft_table(1.0, rc),
+        "T12": soft_table(0.8, rc), "T13": soft_table(0.5, rc),
+        "T22": soft_table(0.9, rc), "T23": soft_table(0.55, rc),
+        "T33": soft_table(0.3, rc),
+    })
+    with open(os.path.join(outdir, "ucg.settings"), "w") as fh:
+        fh.write("2 3 2\n1 1\n2 2\n2 3 density entropy\n6.0 1.5\n0.0 0.2\n")
+    with open(os.path.join(outdir, "rates.txt"), "w") as fh:
+        fh.write("0.5\n1\n2\n1\n")   # probON; 1 switch type; ON=2; OFF=1
+    with open(os.path.join(outdir, "contacts.txt"), "w") as fh:
+        fh.write("n 1\nm 1\n2 2\n")
+    with open(os.path.join(outdir, "system.data"), "w") as fh:
+        fh.write("density-CV UCG + cluster switching\n\n")
+        fh.write(f"{n} atoms\n2 atom types\n\n")
+        fh.write(f"0 {L:.10g} xlo xhi\n0 {L:.10g} ylo yhi\n0 {L:.10g} zlo zhi\n\n")
+        fh.write("Masses\n\n1 1.0\n2 1.0\n\nAtoms # ucg\n\n")
+        for k in range(n):
+            fh.write(f"{k + 1} {k + 1} {typ[k]} 0.0 {x[k, 0]:.10g} "
+                     f"{x[k, 1]:.10g} {x[k, 2]:.10g} 0 0.5 5.0\n")
+    lines = [
+        "units lj", "atom_style ucg", "read_data system.data",
+        f"pair_style table_ucg_bethe_density linear {tablength} ucg.settings",
+        f"pair_coeff 1 1 1 1 ucg.table T11 {rc}",
+        "pair_coeff 1 2 1 2 "
+        f"ucg.table T12 {rc} ucg.table T13 {rc}",
+        "pair_coeff 2 2 2 2 "
+        f"ucg.table T22 {rc} ucg.table T23 {rc} "
+        f"ucg.table T23 {rc} ucg.table T33 {rc}",
+        "neighbor 0.4 bin", "neigh_modify every 10",
+        f"timestep {dt}", f"velocity all create {T} {seed + 1}",
+        "fix 1 all nve/ucgld",
+        f"fix 2 all ucgld/langevin {T} {T} 0.5 {seed + 2}",
+        f"fix 4 all cluster_switch 1 0 1.3 {seed + 3} rateFreq {switch_freq} "
+        "rateFile rates.txt contactFile contacts.txt",
+        f"thermo {thermo_every}", f"run {nsteps}",
+    ]
+    path = os.path.join(outdir, "in.bethe_density")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path
+
+
+def write_rleucg_deck(outdir: str, n: int = 512, rho: float = 0.5,
+                      rc: float = 2.5, nsteps: int = 100, dt: float = 0.002,
+                      T: float = 0.8, thermo_every: int = 50, seed: int = 17,
+                      tablength: int = 1200) -> str:
+    """Config-5 style deck: confined-interface RLE-UCG (substate types) +
+    fix nve/ucgld/wall/hard."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    L = (n / rho) ** (1 / 3)
+    x = lattice_positions(n, L, seed=seed)
+    # base substate types: 1 (2-state actual 1) or 3 (1-state actual 2)
+    typ = np.where(rng.uniform(size=n) < 0.7, 1, 3)
+    write_table_file(os.path.join(outdir, "rle.table"), {
+        "T11": soft_table(1.0, rc), "T12": soft_table(0.7, rc),
+        "T13": soft_table(0.8, rc), "T22": soft_table(0.4, rc),
+        "T23": soft_table(0.5, rc), "T33": soft_table(0.9, rc),
+    })
+    with open(os.path.join(outdir, "rle.settings"), "w") as fh:
+        fh.write("2 3\n2 density use_entropy\n5.0 1.5\n0.4\n1 density no_entropy\n")
+    with open(os.path.join(outdir, "system.data"), "w") as fh:
+        fh.write("RLE-UCG interface system\n\n")
+        fh.write(f"{n} atoms\n3 atom types\n\n")
+        fh.write(f"0 {L:.10g} xlo xhi\n0 {L:.10g} ylo yhi\n0 {L:.10g} zlo zhi\n\n")
+        fh.write("Masses\n\n1 1.0\n2 1.0\n3 1.0\n\nAtoms # ucg\n\n")
+        for k in range(n):
+            fh.write(f"{k + 1} {k + 1} {typ[k]} 0.0 {x[k, 0]:.10g} "
+                     f"{x[k, 1]:.10g} {x[k, 2]:.10g} 0 0.5 5.0\n")
+    lines = [
+        "units lj", "atom_style ucg", "read_data system.data",
+        f"pair_style table_rleucg_interface linear {tablength} rle.settings",
+        f"pair_coeff 1 1 rle.table T11 {rc}",
+        f"pair_coeff 1 2 rle.table T12 {rc}",
+        f"pair_coeff 1 3 rle.table T13 {rc}",
+        f"pair_coeff 2 2 rle.table T22 {rc}",
+        f"pair_coeff 2 3 rle.table T23 {rc}",
+        f"pair_coeff 3 3 rle.table T33 {rc}",
+        "neighbor 0.4 bin", "neigh_modify every 10",
+        f"timestep {dt}", f"velocity all create {T} {seed + 1}",
+        "fix 1 all nve/ucgld/wall/hard bias_potential 0.1",
+        f"fix 2 all ucgld/langevin {T} {T} 0.5 {seed + 2}",
+        f"thermo {thermo_every}", f"run {nsteps}",
+    ]
+    path = os.path.join(outdir, "in.rleucg")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path

@@ -101,3 +101,44 @@ rerun traj.lammpstrj dump x y z ucgl
     assert np.all((p > 0) & (p < 1))
     # default-mode ucgstate assignment: state == round(p)
     np.testing.assert_array_equal(out[-1].fields["ucgstate"], np.round(p))
+
+
+def test_bethe_deck_runs(tmp_path):
+    from make_deck import write_bethe_deck
+
+    deck = write_bethe_deck(str(tmp_path), n=96, nsteps=30, thermo_every=10)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_file(deck)
+    assert r.thermo_rows[-1]["step"] == 30
+    p = np.asarray(r.state.ucgp)
+    assert np.all((p > 0) & (p < 1))
+    assert np.isfinite(r.thermo_rows[-1]["etotal"])
+
+
+def test_bethe_density_deck_runs(tmp_path):
+    from make_deck import write_bethe_density_deck
+
+    deck = write_bethe_density_deck(str(tmp_path), n=96, nsteps=40,
+                                    switch_freq=20, thermo_every=20)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_file(deck)
+    assert r.thermo_rows[-1]["step"] == 40
+    assert np.isfinite(r.thermo_rows[-1]["etotal"])
+    # cluster_switch ran and logged
+    assert (tmp_path / "cluster_assignment.log").exists()
+    assert np.asarray(r.sim.cswitch_stats.v)[0] > 0
+
+
+def test_rleucg_deck_runs(tmp_path):
+    from make_deck import write_rleucg_deck
+
+    deck = write_rleucg_deck(str(tmp_path), n=96, nsteps=30, thermo_every=10)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_file(deck)
+    assert r.thermo_rows[-1]["step"] == 30
+    assert np.isfinite(r.thermo_rows[-1]["etotal"])
+    lam = np.asarray(r.state.ucgl)
+    assert lam.min() > -0.5 and lam.max() < 1.5
