@@ -107,6 +107,7 @@ class ScriptRunner:
         self.fix_ids: dict = {}
         self.dumps: dict = {}
         self.thermo_every = 0
+        self.thermo_columns: list | None = None
         self.thermo_rows: list = []
         self.variables: dict = {}
         self.log = log_callback or (lambda msg: print(msg))
@@ -459,7 +460,13 @@ class ScriptRunner:
         self.thermo_every = int(a[0])
 
     def _cmd_thermo_style(self, a):
-        pass   # output columns are the engine's thermo row
+        # thermo_style custom <cols>: select/rename output columns.  LAMMPS
+        # names map onto the engine's thermo row where meaningful.
+        if a and a[0] == "custom":
+            mapping = {"step": "step", "temp": "temp", "pe": "pe", "ke": "ke",
+                       "etotal": "etotal", "press": "press", "epair": "pe",
+                       "evdwl": "pe"}
+            self.thermo_columns = [mapping.get(c, c) for c in a[1:]]
 
     # ---- run -----------------------------------------------------------
 
@@ -498,8 +505,12 @@ class ScriptRunner:
             if self.thermo_every and step % self.thermo_every == 0:
                 row = sim.thermo()
                 self.thermo_rows.append(row)
+                shown = row
+                if self.thermo_columns:
+                    shown = {c: row.get(c, float("nan"))
+                             for c in self.thermo_columns}
                 self.log("  ".join(f"{k}={v:.6g}" if isinstance(v, float)
-                                   else f"{k}={v}" for k, v in row.items()))
+                                   else f"{k}={v}" for k, v in shown.items()))
             for d in self.dumps.values():
                 if step % d.every == 0:
                     d.writer.write(sim.state)

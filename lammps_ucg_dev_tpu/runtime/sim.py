@@ -320,6 +320,29 @@ class Simulation:
 
     # ---- observables ------------------------------------------------------
 
+    def property_atom(self, name: str):
+        """Per-atom property accessor in TAG order — the analogue of
+        ``compute property/atom`` / ``Atom::extract`` for the UCG fields
+        (atom_vec_ucg.cpp:172-234, atom.cpp:3156-3175).  Names: ucgstate,
+        ucgl, ucgvl, ucgml, ucgp, ucgforce, ucgsoftmaxscores, x, v, f,
+        type, mol, q, id."""
+        state, fout = self.state, self._fcarry
+        arrays = {
+            "x": state.x, "v": state.v, "type": state.typ, "mol": state.mol,
+            "q": state.q, "id": state.tag,
+            "ucgstate": state.ucgstate, "ucgl": state.ucgl,
+            "ucgvl": state.ucgvl, "ucgml": state.ucgml, "ucgp": state.ucgp,
+        }
+        if fout is not None:
+            arrays.update({"f": fout.f, "ucgforce": fout.ucgforce,
+                           "ucgsoftmaxscores": fout.scores})
+        if name not in arrays:
+            raise KeyError(f"unknown per-atom property {name!r}")
+        out = np.asarray(arrays[name])
+        order = np.argsort(np.asarray(state.tag))
+        return out[order]
+
+
     def thermo(self) -> dict:
         state, fout = self.state, self._fcarry
         u = self.cfg.u
