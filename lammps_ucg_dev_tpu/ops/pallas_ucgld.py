@@ -4,9 +4,10 @@ Why a kernel: the XLA pair loop is gather-bound — ~4.2 ns per gather index on
 v5e regardless of fetch width (measured; 2 gathers/pair ⇒ ~40 ns/pair floor).
 This kernel eliminates EVERY per-pair gather:
 
-* neighbor attributes arrive via aligned DYNAMIC SLICES of a
-  cluster-transposed pack (``apackCT``): j-cluster ``jc``'s block is rows
-  ``[8*jc, 8*jc+8)`` — contiguous, attrs on sublanes, atoms on lanes;
+* neighbor attributes arrive via aligned DYNAMIC SLICES of a lane-exact
+  cluster pack (``apackL``, (n_icl, 128)): j-cluster ``jc``'s attributes are
+  ONE row ``[x(8) y(8) z(8) λ(8) state(8) pad]`` — a (1, 128) sublane slice
+  with zero tiling waste (an (N, 8) pack would pad 16× in VMEM);
 * tabulated potentials are evaluated as Chebyshev series (ops/chebtab.py)
   with coefficients baked as immediate constants — pure VPU FMA;
 * per-atom-owned tallies (newton-off) mean no scatter: each program writes
@@ -17,10 +18,24 @@ i-cluster (8 atoms → sublanes) the KC candidate j-clusters stream through a
 (8 attr, 128 lane) staging buffer, 16 j-clusters (128 j-atoms → lanes) per
 inner chunk; every arithmetic op covers an (8, 128) vreg of 1024 pairs.
 
+The kernel operates in SLOT space (cell-padded rows, see ops/clusters.py):
+inputs/outputs have n_slots rows; the caller scatters atoms in and gathers
+forces out by ``atom_slot`` (two O(N) gathers per step, amortized against the
+gather-free pair loop).  Padded slots are masked by a validity attribute and
+their output rows are discarded.
+
 Scope (v1): 2-state UCG with a single actual type (the flagship/bench
-config), uniform LINEAR tables with NT = 4 combo tables, whole atom pack
-resident in VMEM (N ≲ 3·10⁵ per chip; the windowed-DMA variant for larger N
-is the planned follow-up).  Callers must check :func:`supports`.
+config), uniform LINEAR tables with NT = 4 combo tables, whole slot pack
+resident in VMEM (N_s ≲ 3·10⁵ per chip; the windowed-DMA variant for larger
+N is the planned follow-up).  Callers must check :func:`supports`.
+
+Status (measured on v5e at 128k atoms): numerically exact vs the XLA path
+(f err ~1.6e-6 f32) with ~2.5 ns per CANDIDATE pair-slot vs XLA's ~11 ns per
+listed pair — a 4.4× per-pair advantage — but v1 cluster-list quality (cell
+padding ~2.9×, weak bounding-sphere pruning on non-compact clusters) costs
+~33× candidate waste, netting slower end-to-end.  Queued list work: sub-cell
+compact clustering, tighter capacities, occupancy-sorted slots.  Until then
+the XLA fast path remains the production default.
 """
 
 from __future__ import annotations
@@ -53,21 +68,22 @@ def supports(params: UCGLDParams, n_atoms: int) -> bool:
         and params.bank.n_tables == 4
         and ntypes == 1
         and int(np.asarray(tp.n_states)[1]) == 2
-        and n_atoms % (BI * CL) == 0
     )
 
 
-def _kernel(cheb_coeffs: np.ndarray, degree: int, kc: int, n_icl: int,
-            scal_ref, api_ref, jcl_ref, apackct_ref, out_ref, out2_ref,
+def _kernel(cheb_coeffs: np.ndarray, degree: int, kc: int, n_icl: int, bi: int,
+            scal_ref, api_ref, jcl_ref, apackl_ref, out_ref, out2_ref,
             jbuf):
     """One program: BI i-clusters × their KC j-cluster candidates.
 
-    scal_ref (SMEM, (1, 8)): [Lx, Ly, Lz, cutsq, innersq, λ-unused...]
-    api_ref   (BI*CL, 8): own atoms, natural layout [x y z λ state gid . .]
-    jcl_ref   (BI, KC) int32
-    apackct_ref (n_icl*8, 8): cluster-transposed pack (attr-major blocks)
+    scal_ref (SMEM, (1, 8)): [Lx, Ly, Lz, cutsq, innersq, dom_lo, dom_hi, .]
+    api_ref   (bi*CL, 8): own slots, natural layout [x y z λ state valid gid .]
+    jcl_ref   (bi, KC) int32
+    apackl_ref (n_icl, 128): lane-exact cluster pack
+               row = [x(8) y(8) z(8) λ(8) state(8) valid(8) pad(80)]
     out_ref   (BI*CL, 8): [fx fy fz lamf s0 s1 . .]
-    out2_ref  (1, 8): [pe vxx vyy vzz vxy vxz vyz oob_lo]
+    out2_ref  (8, 8): per-program partials [pe vxx vyy vzz vxy vxz vyz oob_lo]
+              broadcast to all 8 rows (TPU block-shape legality)
     jbuf      (8, 128) VMEM scratch: staging for 16 j-clusters
     """
     Lx = scal_ref[0, 0]
@@ -94,13 +110,14 @@ def _kernel(cheb_coeffs: np.ndarray, degree: int, kc: int, n_icl: int,
     vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
     oob_t = jnp.zeros((), jnp.float32)
 
-    for b in range(BI):
+    for b in range(bi):
         sl = slice(b * CL, (b + 1) * CL)
         xi0 = api_ref[sl, 0:1]
         xi1 = api_ref[sl, 1:2]
         xi2 = api_ref[sl, 2:3]
         li = api_ref[sl, 3:4]
-        gi = api_ref[sl, 5:6]
+        vi = api_ref[sl, 5:6]
+        gi = api_ref[sl, 6:7]
 
         fx = jnp.zeros((CL, 128), jnp.float32)
         fy = jnp.zeros((CL, 128), jnp.float32)
@@ -113,15 +130,21 @@ def _kernel(cheb_coeffs: np.ndarray, degree: int, kc: int, n_icl: int,
         oob = jnp.zeros((CL, 128), jnp.float32)
 
         for kk in range(kc // JCHUNK):
-            # ---- stage 16 j-clusters into jbuf (8 attr, 128) --------------
+            # ---- stage 16 j-clusters into jbuf (6 attr rows, 128) ---------
             for t in range(JCHUNK):
                 jid = jcl_ref[b, kk * JCHUNK + t]
                 valid = jid < n_icl
                 jc = jnp.where(valid, jid, 0)
-                blk = apackct_ref[pl.ds(jc * 8, 8), :]     # (8 attr, 8 atoms)
-                jbuf[:, t * 8:(t + 1) * 8] = blk
+                row = apackl_ref[pl.ds(jc, 1), :]          # (1, 128)
+                lanes = slice(t * 8, (t + 1) * 8)
+                jbuf[0:1, lanes] = row[0:1, 0:8]           # x
+                jbuf[1:2, lanes] = row[0:1, 8:16]          # y
+                jbuf[2:3, lanes] = row[0:1, 16:24]         # z
+                jbuf[3:4, lanes] = row[0:1, 24:32]         # λ
+                jbuf[4:5, lanes] = row[0:1, 32:40]         # state
                 gid = jnp.where(valid, jid * 8 + lane8, -1).astype(jnp.float32)
-                jbuf[5:6, t * 8:(t + 1) * 8] = gid
+                jbuf[5:6, lanes] = gid
+                jbuf[6:7, lanes] = row[0:1, 40:48]         # per-atom validity
 
             xj0 = jbuf[0:1, :]
             xj1 = jbuf[1:2, :]
@@ -129,6 +152,7 @@ def _kernel(cheb_coeffs: np.ndarray, degree: int, kc: int, n_icl: int,
             lj = jbuf[3:4, :]
             sj = jbuf[4:5, :]
             gj = jbuf[5:6, :]
+            vj = jbuf[6:7, :]
 
             dx = xi0 - xj0
             dx = dx - Lx * jnp.round(dx / Lx)
@@ -138,7 +162,8 @@ def _kernel(cheb_coeffs: np.ndarray, degree: int, kc: int, n_icl: int,
             dz = dz - Lz * jnp.round(dz / Lz)
             rsq = dx * dx + dy * dy + dz * dz
 
-            mask = (rsq < cutsq) & (gj >= 0.0) & (gi != gj)
+            mask = ((rsq < cutsq) & (gj >= 0.0) & (gi != gj)
+                    & (vj > 0.5) & (vi > 0.5))
             rsqm = jnp.where(mask, rsq, dom_hi)
             oob = oob + jnp.where(mask & (rsq < innersq), 1.0, 0.0)
 
@@ -199,7 +224,7 @@ def _kernel(cheb_coeffs: np.ndarray, degree: int, kc: int, n_icl: int,
         pe_t[None], vir_t[0][None], vir_t[1][None], vir_t[2][None],
         vir_t[3][None], vir_t[4][None], vir_t[5][None], oob_t[None],
     ])[None, :]
-    out2_ref[:, :] = row
+    out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
 
 
 def compute(state: SimState, clist: clmod.ClusterList, params: UCGLDParams,
@@ -207,19 +232,28 @@ def compute(state: SimState, clist: clmod.ClusterList, params: UCGLDParams,
     """ForceOut-compatible fused evaluation (see module docstring for scope)."""
     x = state.x
     n = x.shape[0]
-    n_icl = n // CL
+    n_slots = clist.n_slots
+    n_icl = clist.n_clusters
     tp = params.tp
     dtype = jnp.float32
 
+    # scatter atoms into slot space
+    sa = clist.slot_atom
+    real = sa < n
+    sac = jnp.clip(sa, 0, n - 1)
     lam = state.ucgl.astype(dtype)
     apack = jnp.concatenate([
-        x.astype(dtype),
-        lam[:, None],
-        state.ucgstate.astype(dtype)[:, None],
-        jnp.arange(n, dtype=dtype)[:, None],      # global atom id
-        jnp.zeros((n, 2), dtype),
-    ], axis=1)                                     # (N, 8)
-    apackct = apack.reshape(n_icl, CL, 8).transpose(0, 2, 1).reshape(n_icl * 8, CL)
+        jnp.where(real[:, None], jnp.take(x.astype(dtype), sac, axis=0), 0.0),
+        jnp.where(real, jnp.take(lam, sac), 0.0)[:, None],
+        jnp.where(real, jnp.take(state.ucgstate.astype(dtype), sac), 0.0)[:, None],
+        real.astype(dtype)[:, None],                 # validity (col 5)
+        jnp.arange(n_slots, dtype=dtype)[:, None],   # slot gid (col 6)
+        jnp.zeros((n_slots, 1), dtype),
+    ], axis=1)                                        # (N_s, 8)
+    # lane-exact cluster pack: row = [x y z λ state valid](8 each) + pad(80)
+    apackl = apack[:, :6].reshape(n_icl, CL, 6).transpose(0, 2, 1)
+    apackl = apackl.reshape(n_icl, 48)
+    apackl = jnp.pad(apackl, ((0, 0), (0, 80)))
 
     L = state.box.lengths.astype(dtype)
     scal = jnp.stack([
@@ -232,43 +266,47 @@ def compute(state: SimState, clist: clmod.ClusterList, params: UCGLDParams,
 
     kc = clist.kc
     assert kc % JCHUNK == 0, "cluster spec kc must be a multiple of 16"
-    n_prog = n_icl // BI
+    bi = next(b for b in (16, 8, 4, 2, 1) if n_icl % b == 0)
+    n_prog = n_icl // bi
 
     kern = functools.partial(
-        _kernel, np.asarray(cheb.coeffs, np.float64), cheb.degree, kc, n_icl)
+        _kernel, np.asarray(cheb.coeffs, np.float64), cheb.degree, kc, n_icl,
+        bi)
 
     out, out2 = pl.pallas_call(
         kern,
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda p: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((BI * CL, 8), lambda p: (p, 0),
+            pl.BlockSpec((bi * CL, 8), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BI, kc), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # apackct, whole
+            pl.BlockSpec((bi, kc), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # apackl, whole
         ],
         out_specs=[
-            pl.BlockSpec((BI * CL, 8), lambda p: (p, 0),
+            pl.BlockSpec((bi * CL, 8), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 8), dtype),
-            jax.ShapeDtypeStruct((n_prog, 8), dtype),
+            jax.ShapeDtypeStruct((n_slots, 8), dtype),
+            jax.ShapeDtypeStruct((n_prog * 8, 8), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((8, 128), dtype)],
         interpret=interpret,
-    )(scal, apack, clist.jcl, apackct)
+    )(scal, apack, clist.jcl, apackl)
 
-    f = out[:, 0:3]
+    # gather slot results back to atom order
+    out_at = jnp.take(out, clist.atom_slot, axis=0)       # (N, 8)
+    f = out_at[:, 0:3]
     is_ucg = tp.n_states[state.typ] > 1
-    ucgforce = jnp.where(is_ucg, out[:, 3] - tp.mu_diff[state.typ], 0.0)
+    ucgforce = jnp.where(is_ucg, out_at[:, 3] - tp.mu_diff[state.typ], 0.0)
     kT = params.kT.astype(dtype)
-    scores = out[:, 4:6] / kT
+    scores = out_at[:, 4:6] / kT
     scores = scores.at[:, 1].add(-tp.mu_diff[state.typ] / kT)
     scores = jnp.where(is_ucg[:, None], scores, 0.0)
 
-    totals = jnp.sum(out2, axis=0)
+    totals = jnp.sum(out2[::8], axis=0)
     return ForceOut(
         f=f,
         ucgforce=ucgforce,
