@@ -163,6 +163,7 @@ def compute(state: SimState, nbr: NeighborList, params: BetheParams) -> ForceOut
     if fast:
         # gather-minimal path (see pair_ucgld): 3 row-gathers per pair
         ntypes1 = tp.cutsq.shape[0]
+        single_type = ntypes1 == 2
         NT = bank.n_tables
         L = bank.nbins
         atompack = jnp.concatenate([
@@ -187,10 +188,15 @@ def compute(state: SimState, nbr: NeighborList, params: BetheParams) -> ForceOut
             rsq = jnp.sum(dr * dr, axis=-1)
             pj1_j = jrow[..., 3]
             jstate = jrow[..., 4] > 0.5
-            tj = jrow[..., 5].astype(jnp.int32)
             is_ucg_j = jrow[..., 6] > 0.5
-            ptype = ti_r[:, None] * ntypes1 + tj
-            prow = jnp.take(tp.pair_pack, ptype, axis=0)
+            if single_type:
+                prow = jnp.broadcast_to(
+                    tp.pair_pack[3][None, None, :],
+                    rsq.shape + (tp.pair_pack.shape[1],))
+            else:
+                tj = jrow[..., 5].astype(jnp.int32)
+                ptype = ti_r[:, None] * ntypes1 + tj
+                prow = jnp.take(tp.pair_pack, ptype, axis=0)
             within = valid & (rsq < prow[..., 0])
 
             xbin = (rsq - inn0) * invd0

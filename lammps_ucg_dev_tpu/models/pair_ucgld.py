@@ -66,8 +66,10 @@ def compute(state: SimState, nbr: NeighborList, params: UCGLDParams) -> ForceOut
         # gather-minimal path: 3 row-gathers per pair (atom row, table row,
         # pair-type row) instead of ~9 elementwise gathers — TPU gathers cost
         # ~4 ns/INDEX regardless of row width, so packing contiguous rows is
-        # the dominant optimization (see TableBank docstring).
+        # the dominant optimization (see TableBank docstring).  For
+        # single-type systems the pair-type row is a CONSTANT: 2 gathers.
         ntypes1 = tp.cutsq.shape[0]
+        single_type = ntypes1 == 2   # types are 1-based; (T+1) == 2
         NT = bank.n_tables
         L = bank.nbins
         atompack = jnp.concatenate([
@@ -92,9 +94,14 @@ def compute(state: SimState, nbr: NeighborList, params: UCGLDParams) -> ForceOut
             rsq = jnp.sum(dr * dr, axis=-1)
             w1j = jrow[..., 3]
             jstate_f = jrow[..., 4]
-            tj = jrow[..., 5].astype(jnp.int32)
-            ptype = ti_r[:, None] * ntypes1 + tj
-            prow = jnp.take(tp.pair_pack, ptype, axis=0)    # (rows, K, 1+4NT)
+            if single_type:
+                prow = jnp.broadcast_to(
+                    tp.pair_pack[3][None, None, :],
+                    rsq.shape + (tp.pair_pack.shape[1],))
+            else:
+                tj = jrow[..., 5].astype(jnp.int32)
+                ptype = ti_r[:, None] * ntypes1 + tj
+                prow = jnp.take(tp.pair_pack, ptype, axis=0)  # (rows,K,1+4NT)
             within = valid & (rsq < prow[..., 0])
 
             xbin = (rsq - inn0) * invd0

@@ -135,8 +135,10 @@ def build(x: jax.Array, box: Box, spec: ClusterSpec) -> ClusterList:
     rank_c = jnp.clip(rank, 0, CC - 1)
     slot_sorted = sorted_cid * CC + rank_c                 # slot of order[k]
     slot_atom = jnp.full((n_slots,), n, dtype=jnp.int32)
-    slot_atom = slot_atom.at[slot_sorted].set(order)
-    atom_slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    slot_atom = slot_atom.at[slot_sorted].set(
+        order, indices_are_sorted=True, unique_indices=True)
+    atom_slot = jnp.zeros((n,), jnp.int32).at[order].set(
+        slot_sorted, unique_indices=True)
 
     # ---- cluster geometry (centers/radii per slot cluster) ----------------
     xs = jnp.where((slot_atom < n)[:, None],

@@ -110,19 +110,22 @@ def _compact_topk(cand: jax.Array, mask: jax.Array, k: int, n: int):
     """Select up to k valid candidates per row (order-preserving); pad with n.
     Returns (idx, count).
 
-    Implemented as cumsum + row scatter rather than a stable argsort: the
-    sort-based compaction measured ~140 ms at 4k×1458 candidates on v5e, the
-    scatter form ~7 ms.  Masked and overflow entries land in a discarded
-    dump column."""
+    Implemented with ``lax.top_k`` over position keys (descending W-pos picks
+    the first k masked entries in order).  Measured on v5e at 4096×1458
+    candidates per call: stable argsort ~140 ms, flat scatter ~39 ms,
+    top_k ~21 ms (scatter pays the ~4 ns/element scatter wall)."""
     rows, width = cand.shape
-    prefix = jnp.cumsum(mask.astype(jnp.int32), axis=1)
-    pos = jnp.where(mask, prefix - 1, k)
-    pos = jnp.minimum(pos, k)                       # overflow -> dump column
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
-    out = jnp.full((rows, k + 1), n, dtype=cand.dtype)
-    out = out.at[row_idx, pos].set(jnp.where(mask, cand, n), mode="drop")
-    count = prefix[:, -1]
-    return out[:, :k], count
+    count = jnp.sum(mask, axis=1).astype(jnp.int32)
+    if width <= k:
+        idx = jnp.where(mask, cand, n)
+        pad = jnp.full((rows, k - width), n, dtype=cand.dtype)
+        return jnp.concatenate([idx, pad], axis=1), count
+    wio = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    keys = jnp.where(mask, width - wio, 0)
+    _, kidx = jax.lax.top_k(keys, k)
+    out = jnp.take_along_axis(cand, kidx, axis=1)
+    got = jnp.take_along_axis(mask, kidx, axis=1)
+    return jnp.where(got, out, n), count
 
 
 def build_nsq(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
@@ -169,13 +172,30 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
     first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
     cell_overflow = jnp.max(rank) >= C
-    cell_atoms = jnp.full((ncells, C), n, dtype=jnp.int32)
-    cell_atoms = cell_atoms.at[sorted_cid, jnp.clip(rank, 0, C - 1)].set(order)
+    # flat 1-D scatter with sorted unique indices: a 2-axis scatter here
+    # lowers to an (N, ncells)-sized one-hot on TPU (measured 4 GB at 128k
+    # atoms, HBM OOM at 256k); slot ids are strictly increasing in sorted
+    # order, so this is the cheap path.  (On overflow the clipped ranks
+    # collide — results are discarded via the overflow flag anyway.)
+    slot = sorted_cid * C + jnp.clip(rank, 0, C - 1)
+    cell_atoms = jnp.full((ncells * C,), n, dtype=jnp.int32)
+    cell_atoms = cell_atoms.at[slot].set(
+        order, indices_are_sorted=True, unique_indices=True)
+    cell_atoms = cell_atoms.reshape(ncells, C)
 
     # static 27-neighbor stencil
     offs = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
                      for k in (-1, 0, 1)], dtype=np.int64)
     rc2 = jnp.asarray(spec.rc**2, x.dtype)
+
+    # cell-blocked positions: ONE row-gather per cell in the stencil instead
+    # of one per candidate (per-candidate x-gathers measured ~0.7 s at 128k —
+    # the 4.2 ns/index gather wall again; this is ~26x fewer indices)
+    xcells = jnp.where(
+        (cell_atoms < n).reshape(-1, 1),
+        jnp.take(x, jnp.clip(cell_atoms.reshape(-1), 0, n - 1), axis=0),
+        jnp.inf,
+    ).reshape(ncells, C, 3)
 
     # pad atoms to a multiple of chunk; sentinel rows point at cell 0 but are
     # discarded afterwards
@@ -193,10 +213,11 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
         # (chunk, 27, 3) neighbor cell coords with periodic wrap
         nc3 = (c3_c[:, None, :] + jnp.asarray(offs, jnp.int32)[None, :, :]) % cps_a
         ncid = (nc3[..., 0] * cps[1] + nc3[..., 1]) * cps[2] + nc3[..., 2]
-        cand = cell_atoms[ncid].reshape(c3_c.shape[0], 27 * C)     # (chunk, 27C)
-        xj = jnp.take(x, jnp.clip(cand, 0, n - 1), axis=0)
+        cand = jnp.take(cell_atoms, ncid, axis=0).reshape(c3_c.shape[0], 27 * C)
+        xj = jnp.take(xcells, ncid, axis=0).reshape(c3_c.shape[0], 27 * C, 3)
         dr = box.min_image(x_c[:, None, :] - xj)
         rsq = jnp.sum(dr * dr, axis=-1)
+        # padded slots carry +inf positions -> rsq = inf -> masked
         mask = (cand != n) & (cand != self_c[:, None]) & (rsq < rc2)
         return _compact_topk(cand, mask, K, n)
 
