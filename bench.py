@@ -26,15 +26,13 @@ BASELINE_ATOM_STEPS_PER_SEC = 1.0e8   # estimated 64-core LAMMPS CPU (see above)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=2**17,
-                    help="bead count (default 2^17; 2^20 runs are currently "
-                         "blocked by axon TPU-worker crashes on 1M-shape "
-                         "programs — see baseline_note)")
+    ap.add_argument("--n", type=int, default=2**20,
+                    help="bead count (default 2^20 ~ 1M)")
     ap.add_argument("--quick", action="store_true",
                     help="small size for smoke runs")
-    ap.add_argument("--steps", type=int, default=200,
+    ap.add_argument("--steps", type=int, default=100,
                     help="timed steps (after warmup)")
-    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--chunk", type=int, default=16384)
     args = ap.parse_args()
 
     n = 4096 if args.quick else args.n
@@ -86,10 +84,7 @@ def main():
         "etotal": round(row["etotal"], 3),
         "temp": round(row["temp"], 4),
         "baseline_note": "vs est. 64-core CPU LAMMPS 1e8 atom-steps/s "
-                         "(no published reference numbers; BASELINE.md). "
-                         "1M-bead single-chip runs currently crash the axon "
-                         "TPU worker during long compiles; 2^17 is the "
-                         "largest size stable end-to-end this round.",
+                         "(no published reference numbers; BASELINE.md)",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
