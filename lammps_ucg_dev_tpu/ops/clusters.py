@@ -126,8 +126,14 @@ def build(x: jax.Array, box: Box, spec: ClusterSpec) -> ClusterList:
     dtype = x.dtype
 
     # ---- bin atoms into padded cell slots ---------------------------------
+    # sub-sort within each cell by quantized z so consecutive 8-slot clusters
+    # are spatially COMPACT — small bounding spheres are what give the
+    # candidate prune its power (random-in-cell clusters have radius ~ the
+    # cell itself and prune almost nothing)
     cid, _ = nbrmod._cell_index(x, box, cps)
-    order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+    zfrac = (x[:, 2] - box.lo[2]) / box.lengths[2] * cps[2]
+    zsub = jnp.clip(((zfrac - jnp.floor(zfrac)) * 64).astype(jnp.int32), 0, 63)
+    order = jnp.argsort(cid * 64 + zsub, stable=True).astype(jnp.int32)
     sorted_cid = cid[order]
     first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)

@@ -30,12 +30,15 @@ resident in VMEM (N_s ≲ 3·10⁵ per chip; the windowed-DMA variant for larger
 N is the planned follow-up).  Callers must check :func:`supports`.
 
 Status (measured on v5e at 128k atoms): numerically exact vs the XLA path
-(f err ~1.6e-6 f32) with ~2.5 ns per CANDIDATE pair-slot vs XLA's ~11 ns per
-listed pair — a 4.4× per-pair advantage — but v1 cluster-list quality (cell
-padding ~2.9×, weak bounding-sphere pruning on non-compact clusters) costs
-~33× candidate waste, netting slower end-to-end.  Queued list work: sub-cell
-compact clustering, tighter capacities, occupancy-sorted slots.  Until then
-the XLA fast path remains the production default.
+(f err ~1.7e-6 f32) at ~2.45 ns per CANDIDATE pair-slot.  The XLA fast path
+does ~8 ns per LISTED pair, so the kernel wins iff candidate waste < ~3.3×;
+v1 geometry (cells of size cutoff+skin, ~2 real clusters per 27-cell stencil
+entry, static kc=128) carries ~17× waste, netting slower end-to-end.  The
+flip requires GROMACS-nbnxn geometry — cluster-sized cells (~8 atoms/cell,
+125-cell stencil, sphere prune to ~40 j-clusters → kc=48) — plus cheaper
+staging (the 16 scalar-indexed loads + 7 sub-lane stores per j-cluster
+dominate the 2.45 ns).  Until then the XLA fast path remains the production
+default.
 """
 
 from __future__ import annotations
