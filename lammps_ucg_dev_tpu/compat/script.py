@@ -476,6 +476,12 @@ class ScriptRunner:
         kT = u.boltz * t_thermo
         pair_compute, pair_params, cutoff = self._build_pair(kT)
         n = self.state.n_atoms
+        # row-chunk the pair loop at large N (bounds HBM; exact)
+        if hasattr(pair_params, "chunk") and n >= 32768:
+            for c in (16384, 8192, 4096):
+                if n % c == 0:
+                    pair_params = dataclasses.replace(pair_params, chunk=c)
+                    break
         L = np.asarray(self.state.box.lengths)
         spec = nbrmod.make_spec(n, L, cutoff, self.skin,
                                 method=self.neighbor_method)

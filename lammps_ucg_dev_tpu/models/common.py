@@ -108,3 +108,22 @@ def softmax_posterior(scores: jax.Array, is_ucg: jax.Array,
     p1 = ex[..., 1] / jnp.sum(ex, axis=-1)
     p1 = jnp.clip(p1, clip_lo, 1.0 - clip_lo)
     return jnp.where(is_ucg, p1, 1.0)
+
+
+def map_row_chunks(fn, n: int, chunk: int, row_args: tuple):
+    """Row-chunked evaluation for per-atom-owned pair passes.
+
+    ``fn(row_args) -> (rowwise_tree, reduced_tree)`` where rowwise outputs
+    have the chunk rows as leading dim and reduced outputs are summed across
+    chunks.  Because every tally in this framework is per-atom-owned, row
+    chunking is exact; it bounds peak memory at ``chunk × K`` intermediates
+    (what makes 1M-bead single-chip runs fit in HBM)."""
+    if chunk and n % chunk == 0 and n > chunk:
+        nc = n // chunk
+        shaped = tuple(a.reshape((nc, chunk) + a.shape[1:]) for a in row_args)
+        rows, red = jax.lax.map(fn, shaped)
+        rows = jax.tree_util.tree_map(
+            lambda a: a.reshape((n,) + a.shape[2:]), rows)
+        red = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), red)
+        return rows, red
+    return fn(row_args)

@@ -63,7 +63,8 @@ from lammps_ucg_dev_tpu.ops.table import TableBank
 _PEPS = 1e-12
 
 
-@pytree_dataclass(meta_fields=("method", "backforce_derivative", "pair_cv"))
+@pytree_dataclass(meta_fields=("method", "backforce_derivative", "pair_cv",
+                               "chunk"))
 class BetheDensityParams:
     bank: TableBank
     tp: UCGTypeParams
@@ -71,6 +72,7 @@ class BetheDensityParams:
     method: str = "bethe"
     backforce_derivative: bool = True
     pair_cv: str = "conservative"   # "conservative" | "reference"
+    chunk: int = 0                  # row-chunk size (0 = unchunked)
 
 
 def make_params(bank: TableBank, tp: UCGTypeParams, kT: float,
@@ -110,46 +112,65 @@ def compute(state: SimState, nbr: NeighborList,
     x, typ = state.x, state.typ
     bank, tp = params.bank, params.tp
     kT = params.kT
-
-    jc, valid, dr, rsq = common.pair_geometry(x, state.box, nbr)
-    ti = typ[:, None]
-    tj = typ[jc]
-    within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
-    r = jnp.sqrt(jnp.where(within, rsq, 1.0))
-
-    # ---- phase 1: density -> priors --------------------------------------
-    radius_i = jnp.maximum(tp.threshold_radius[typ], _PEPS)
-    w_prox = jnp.where(within, density.proximity(r, radius_i[:, None]), 0.0)
-    rho = jnp.sum(w_prox, axis=1)
-    n_real = jnp.sum(within, axis=1)
-
-    prior, partial0 = _priors(params, typ, rho)       # (N,2), (N,)
-    pi1 = prior[:, 1]
-    pj1 = prior[jc, 1]
-
-    # ---- phase 2: Bethe-mixed pair forces + prior-force accumulators -----
-    e4, fp4, oob_lo, oob_hi = common.eval_state_block(bank, tp, ti, tj, rsq, within)
-    p4 = bethe_pij(e4, pi1[:, None], pj1, kT, params.method)
-    p4 = jnp.where(within[..., None, None], p4, 0.0)
-
-    emix = jnp.sum(p4 * e4, axis=(-1, -2))
-    fmix = jnp.sum(p4 * fp4, axis=(-1, -2))
-    f = jnp.sum(fmix[..., None] * dr, axis=1)
-    pe = 0.5 * jnp.sum(emix)
-    virial = common.pair_virial(fmix, dr)
+    n = x.shape[0]
+    chunk = params.chunk
+    idx = nbr.idx
 
     is_ucg = tp.n_states[typ] > 1
     use_den = (tp.use_density[typ] == 1) & is_ucg
     use_ent = (tp.use_entropy[typ] == 1)
-    is_ucg_j = (tp.n_states[tj] > 1) & within
+    radius_all = jnp.maximum(tp.threshold_radius[typ], _PEPS)
 
-    logp = jnp.log(jnp.maximum(prior, _PEPS))         # (N, 2)
+    def geom(idx_r, xi):
+        valid = idx_r < n
+        jc = jnp.where(valid, idx_r, 0)
+        xj = jnp.take(x, jc, axis=0)
+        dr = state.box.min_image(xi[:, None, :] - xj)
+        rsq = jnp.sum(dr * dr, axis=-1)
+        return jc, valid, dr, rsq
+
+    # ---- phase 1 (chunked): density --------------------------------------
+    def pass1(args):
+        idx_r, xi, ti_r, rad_r = args
+        jc, valid, dr, rsq = geom(idx_r, xi)
+        within = valid & (rsq < common.take2d(tp.cutsq, ti_r[:, None], typ[jc]))
+        r = jnp.sqrt(jnp.where(within, rsq, 1.0))
+        w_prox = jnp.where(within, density.proximity(r, rad_r[:, None]), 0.0)
+        return (jnp.sum(w_prox, axis=1), jnp.sum(within, axis=1)), ()
+
+    (rho, n_real), _ = common.map_row_chunks(
+        pass1, n, chunk, (idx, x, typ, radius_all))
+
+    prior, partial0 = _priors(params, typ, rho)       # (N,2), (N,)
+    pi1_all = prior[:, 1]
+    logp_all = jnp.log(jnp.maximum(prior, _PEPS))     # (N, 2)
 
     # one-body terms (:302-314), density types only
     mu_i = tp.mu[tp.formal[typ]]                      # (N, 2)
     one_body = -mu_i - jnp.where(
         (use_ent & use_den)[:, None],
-        kT * logp * (1.0 - n_real.astype(logp.dtype))[:, None], 0.0)
+        kT * logp_all * (1.0 - n_real.astype(logp_all.dtype))[:, None], 0.0)
+
+    # ---- phase 2 (chunked): Bethe-mixed forces + prior-force accumulators -
+    def pass2(args):
+        idx_r, xi, ti_raw, pi1_r, logp_r = args
+        ti = ti_raw[:, None]
+        jc, valid, dr, rsq = geom(idx_r, xi)
+        tj = typ[jc]
+        within = valid & (rsq < common.take2d(tp.cutsq, ti, tj))
+        e4, fp4, oob_lo, oob_hi = common.eval_state_block(
+            bank, tp, ti, tj, rsq, within)
+        pj1 = pi1_all[jc]
+        p4 = bethe_pij(e4, pi1_r[:, None], pj1, kT, params.method)
+        p4 = jnp.where(within[..., None, None], p4, 0.0)
+
+        emix = jnp.sum(p4 * e4, axis=(-1, -2))
+        fmix = jnp.sum(p4 * fp4, axis=(-1, -2))
+        f_r = jnp.sum(fmix[..., None] * dr, axis=1)
+        pe_r = 0.5 * jnp.sum(emix)
+        vir_r = common.pair_virial(fmix, dr)
+        is_ucg_j = (tp.n_states[tj] > 1) & within
+        logp = logp_r
 
     # pair accumulators
     #   CG partner (:514-518): pf_s -= u_{s0} + kT ln p_s  — this is exactly
@@ -165,60 +186,71 @@ def compute(state: SimState, nbr: NeighborList,
     #   realized.  "conservative" (default) keeps the single reduced
     #   derivative in the state-1 slot so that F = -∇F_Bethe exactly;
     #   "reference" transcribes the literal (self-cancelling) pair.
-    logp4 = jnp.log(jnp.maximum(p4, _PEPS))
-    pf_pair_ucg1 = -(e4[..., 1, 1] - e4[..., 0, 1] + kT * (logp4[..., 1, 1] - logp4[..., 0, 1]))
-    if params.pair_cv == "reference":
-        pf_pair_ucg0 = -(e4[..., 1, 0] - e4[..., 0, 0] + kT * (logp4[..., 1, 0] - logp4[..., 0, 0]))
-    elif params.pair_cv == "conservative":
-        pf_pair_ucg0 = jnp.zeros_like(pf_pair_ucg1)
-    else:
-        raise ValueError(f"unknown pair_cv mode {params.pair_cv!r}")
-    pf_pair_cg0 = -(e4[..., 0, 0] + kT * logp[:, None, 0])
-    pf_pair_cg1 = -(e4[..., 1, 0] + kT * logp[:, None, 1])
+        logp4 = jnp.log(jnp.maximum(p4, _PEPS))
+        pf_pair_ucg1 = -(e4[..., 1, 1] - e4[..., 0, 1]
+                         + kT * (logp4[..., 1, 1] - logp4[..., 0, 1]))
+        if params.pair_cv == "reference":
+            pf_pair_ucg0 = -(e4[..., 1, 0] - e4[..., 0, 0]
+                             + kT * (logp4[..., 1, 0] - logp4[..., 0, 0]))
+        elif params.pair_cv == "conservative":
+            pf_pair_ucg0 = jnp.zeros_like(pf_pair_ucg1)
+        else:
+            raise ValueError(f"unknown pair_cv mode {params.pair_cv!r}")
+        pf_pair_cg0 = -(e4[..., 0, 0] + kT * logp[:, None, 0])
+        pf_pair_cg1 = -(e4[..., 1, 0] + kT * logp[:, None, 1])
 
-    sel_ucg = is_ucg_j
-    pf0 = jnp.where(sel_ucg, pf_pair_ucg0, pf_pair_cg0)
-    pf1 = jnp.where(sel_ucg, pf_pair_ucg1, pf_pair_cg1)
-    gate = within & use_den[:, None]
-    pforce = jnp.stack([
-        jnp.sum(jnp.where(gate, pf0, 0.0), axis=1),
-        jnp.sum(jnp.where(gate, pf1, 0.0), axis=1),
-    ], axis=-1) + jnp.where(use_den[:, None], one_body, 0.0)
+        pf0 = jnp.where(is_ucg_j, pf_pair_ucg0, pf_pair_cg0)
+        pf1 = jnp.where(is_ucg_j, pf_pair_ucg1, pf_pair_cg1)
+        uden_r = (tp.use_density[ti_raw] == 1) & (tp.n_states[ti_raw] > 1)
+        gate = within & uden_r[:, None]
+        pf_r = jnp.stack([
+            jnp.sum(jnp.where(gate, pf0, 0.0), axis=1),
+            jnp.sum(jnp.where(gate, pf1, 0.0), axis=1),
+        ], axis=-1)
 
-    # ---- scores + fused posterior (:488,597-603,669-696) ------------------
-    jstate = jnp.where(within, state.ucgstate[jc], 0)
-    u_at_js = jnp.take_along_axis(
-        e4, jstate[:, :, None, None].astype(jnp.int32), axis=3
-    )[..., 0]
-    scores = -jnp.sum(u_at_js, axis=1) / kT
+        # pseudolikelihood scores (:488,597-603)
+        jstate = jnp.where(within, state.ucgstate[jc] > 0, False)
+        u_at_js = jnp.where(jstate[..., None], e4[..., :, 1], e4[..., :, 0])
+        scores_r = -jnp.sum(u_at_js, axis=1) / kT
+        return (f_r, pf_r, scores_r), (pe_r, vir_r, oob_lo, oob_hi)
+
+    (f, pforce, scores), (pe, virial, oob_lo, oob_hi) = common.map_row_chunks(
+        pass2, n, chunk, (idx, x, typ, pi1_all, logp_all))
+
+    pforce = pforce + jnp.where(use_den[:, None], one_body, 0.0)
     scores = scores - jnp.where(use_den[:, None], mu_i / kT, 0.0)
     scores = jnp.where(is_ucg[:, None], scores, 0.0)
     ucgp = common.softmax_posterior(scores, is_ucg)
 
-    # ---- phase 3: CV back-force (:698-733) --------------------------------
-    # cvf has the reference's pf sign; pf_s couples via state ordering where
-    # prior[:,0] is the threshold prob, matching pf index s on prior index s.
-    # NOTE: pforce index s here refers to the SI index of u; the CV couples
-    # through ∂p/∂ρ with ∂p1/∂ρ = -∂p0/∂ρ = -partial0 under the reference's
-    # [0]-is-threshold ordering (:251-254).
+    # ---- phase 3 (chunked): CV back-force (:698-733) -----------------------
+    # pforce index s couples through ∂p_s/∂ρ with ∂p1/∂ρ = -∂p0/∂ρ = -partial0
+    # under the reference's [0]-is-threshold ordering (:251-254).
     partial = jnp.stack([partial0, -partial0], axis=-1)
-    cvf = jnp.sum(pforce * partial, axis=-1)          # (N,)
-    cvf = jnp.where(use_den, cvf, 0.0)
+    cvf_all = jnp.sum(pforce * partial, axis=-1)      # (N,)
+    cvf_all = jnp.where(use_den, cvf_all, 0.0)
 
-    if params.backforce_derivative:
-        # correct chain rule: dρ/dx_i uses dw/dr = -proximity_der
-        g_i = -density.proximity_der(r, radius_i[:, None])
-        g_j = -density.proximity_der(r, radius_i[jc])
-    else:
-        # reference-literal w(r)/r form (:719), positive convention
-        g_i = density.proximity(r, radius_i[:, None])
-        g_j = density.proximity(r, radius_i[jc])
+    def pass3(args):
+        idx_r, xi, ti_r, cvf_r, rad_r = args
+        jc, valid, dr, rsq = geom(idx_r, xi)
+        within = valid & (rsq < common.take2d(tp.cutsq, ti_r[:, None], typ[jc]))
+        r = jnp.sqrt(jnp.where(within, rsq, 1.0))
+        if params.backforce_derivative:
+            # correct chain rule: dρ/dx_i uses dw/dr = -proximity_der
+            g_i = -density.proximity_der(r, rad_r[:, None])
+            g_j = -density.proximity_der(r, radius_all[jc])
+        else:
+            # reference-literal w(r)/r form (:719), positive convention
+            g_i = density.proximity(r, rad_r[:, None])
+            g_j = density.proximity(r, radius_all[jc])
+        fcv_pair = jnp.where(
+            within, cvf_r[:, None] * g_i + cvf_all[jc] * g_j, 0.0) / r
+        fcv_r = jnp.sum(fcv_pair[..., None] * dr, axis=1)
+        return (fcv_r,), (common.pair_virial(fcv_pair, dr),)
 
-    fcv_pair = jnp.where(within, cvf[:, None] * g_i + cvf[jc] * g_j, 0.0) / r
-    f = f + jnp.sum(fcv_pair[..., None] * dr, axis=1)
-    virial = virial + common.pair_virial(fcv_pair, dr)
+    (fcv,), (vir_cv,) = common.map_row_chunks(
+        pass3, n, chunk, (idx, x, typ, cvf_all, radius_all))
 
     return ForceOut(
-        f=f, ucgforce=jnp.zeros_like(rho), scores=scores, pe=pe,
-        virial=virial, ucgp=ucgp, oob_low=oob_lo, oob_high=oob_hi,
+        f=f + fcv, ucgforce=jnp.zeros_like(rho), scores=scores, pe=pe,
+        virial=virial + vir_cv, ucgp=ucgp, oob_low=oob_lo, oob_high=oob_hi,
     )

@@ -44,7 +44,8 @@ from lammps_ucg_dev_tpu.ops.table import TableBank
 _PEPS = 1e-12
 
 
-@pytree_dataclass(meta_fields=("max_states", "feedback", "conservative_sign"))
+@pytree_dataclass(meta_fields=("max_states", "feedback", "conservative_sign",
+                               "chunk"))
 class RLEUCGParams:
     bank: TableBank
     tabSS: jax.Array            # (S+1, S+1, Smax, Smax)
@@ -59,6 +60,7 @@ class RLEUCGParams:
     max_states: int = 2
     feedback: str = "always"
     conservative_sign: bool = True
+    chunk: int = 0                  # row-chunk size (0 = unchunked)
 
 
 def make_params(builder, st, kT: float, feedback: str = "always",
@@ -105,80 +107,118 @@ def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams) -> ForceOu
     bank = params.bank
     kT = params.kT
     Smax = params.max_states
-
-    jc, valid, dr, rsq = common.pair_geometry(x, state.box, nbr)
-    ti = typ[:, None]
-    tj = typ[jc]
-    within = valid & (rsq < common.take2d(params.cutsq, ti, tj))
-    r = jnp.sqrt(jnp.where(within, rsq, 1.0))
+    n = x.shape[0]
+    chunk = params.chunk
+    idx = nbr.idx
 
     act = params.actual_from_state[typ]
     ns = params.n_states[act]
-    radius = jnp.maximum(params.threshold_radius[act], _PEPS)
+    radius_all = jnp.maximum(params.threshold_radius[act], _PEPS)
 
-    # ---- phase 1: density -> substate probabilities -----------------------
-    w_prox = jnp.where(within, density.proximity(r, radius[:, None]), 0.0)
-    rho = jnp.sum(w_prox, axis=1)
-    probs, partial = substate_probs(params, typ, rho)      # (N, Smax)
+    def geom(idx_r, xi):
+        valid = idx_r < n
+        jc = jnp.where(valid, idx_r, 0)
+        xj = jnp.take(x, jc, axis=0)
+        dr = state.box.min_image(xi[:, None, :] - xj)
+        rsq = jnp.sum(dr * dr, axis=-1)
+        return jc, valid, dr, rsq
 
-    # ---- phase 2: mean-field mixed forces + probability forces ------------
-    tSS = common.take2d(params.tabSS, ti, tj)                 # (N, K, Smax, Smax)
-    eS, fpS, lo, hi = bank.interp(tSS, rsq[..., None, None])
-    w = within[..., None, None]
-    eS = jnp.where(w, eS, 0.0)
-    fpS = jnp.where(w, fpS, 0.0)
-    oob_lo = jnp.sum(jnp.where(w, lo, False))
-    oob_hi = jnp.sum(jnp.where(w, hi, False))
+    # ---- phase 1 (chunked): density -> substate probabilities -------------
+    def pass1(args):
+        idx_r, xi, ti_r, rad_r = args
+        jc, valid, dr, rsq = geom(idx_r, xi)
+        within = valid & (rsq < common.take2d(params.cutsq, ti_r[:, None],
+                                              typ[jc]))
+        r = jnp.sqrt(jnp.where(within, rsq, 1.0))
+        w_prox = jnp.where(within, density.proximity(r, rad_r[:, None]), 0.0)
+        return (jnp.sum(w_prox, axis=1),), ()
 
-    wA = probs
-    wB = probs[jc]                                         # (N, K, Smax)
-    fmix = jnp.einsum("ns,nkt,nkst->nk", wA, wB, fpS)
-    emix = jnp.einsum("ns,nkt,nkst->nk", wA, wB, eS)
+    (rho,), _ = common.map_row_chunks(pass1, n, chunk,
+                                      (idx, x, typ, radius_all))
+    probs_all, partial = substate_probs(params, typ, rho)  # (N, Smax)
 
-    f = jnp.sum(fmix[..., None] * dr, axis=1)
-    pe = 0.5 * jnp.sum(emix)
-    virial = common.pair_virial(fmix, dr)
-
+    # ---- phase 2 (chunked): mean-field forces + probability feedback ------
     s_idx = jnp.arange(Smax, dtype=jnp.int32)[None, :]
     multi = (ns > 1)[:, None]
-    explicit = (s_idx < (ns - 1)[:, None]) & multi
+    explicit_all = (s_idx < (ns - 1)[:, None]) & multi
 
     # one-body probability forces (:296-317)
     ent = (params.use_entropy[act] == 1)[:, None] & multi
-    logp = jnp.log(jnp.maximum(probs, _PEPS))
-    p_last = jnp.take_along_axis(probs, jnp.maximum(ns - 1, 0)[:, None], axis=1)
+    logp = jnp.log(jnp.maximum(probs_all, _PEPS))
+    p_last = jnp.take_along_axis(probs_all, jnp.maximum(ns - 1, 0)[:, None],
+                                 axis=1)
     log_plast = jnp.log(jnp.maximum(p_last, _PEPS))
     mu_s = params.mu[jnp.minimum(typ[:, None] + s_idx, params.mu.shape[0] - 1)]
-    pforce = jnp.where(explicit,
-                       -mu_s + jnp.where(ent, -kT * logp + kT * log_plast, 0.0),
-                       0.0)
+    pforce_one = jnp.where(
+        explicit_all,
+        -mu_s + jnp.where(ent, -kT * logp + kT * log_plast, 0.0), 0.0)
 
-    # two-body energy feedback (:427-435), intended: every directed pair
-    if params.feedback == "always":
-        ub = jnp.einsum("nkt,nkst->nks", wB, eS)           # Σ_β p_β u_sβ
-        u_last = jnp.take_along_axis(
-            ub, jnp.broadcast_to(jnp.maximum(ns - 1, 0)[:, None, None],
-                                 (ub.shape[0], ub.shape[1], 1)), axis=2)[..., 0]
-        fb = -(ub - u_last[..., None])                     # (N, K, Smax)
-        pforce = pforce + jnp.where(explicit[:, None, :],
-                                    jnp.where(within[..., None], fb, 0.0),
-                                    0.0).sum(axis=1)
-    elif params.feedback != "never":
-        raise ValueError(f"unknown feedback mode {params.feedback!r}")
+    def pass2(args):
+        idx_r, xi, ti_raw, wA, explicit_r, nslast_r = args
+        ti = ti_raw[:, None]
+        jc, valid, dr, rsq = geom(idx_r, xi)
+        tj = typ[jc]
+        within = valid & (rsq < common.take2d(params.cutsq, ti, tj))
+        tSS = common.take2d(params.tabSS, ti, tj)   # (rows, K, Smax, Smax)
+        eS, fpS, lo, hi = bank.interp(tSS, rsq[..., None, None])
+        w = within[..., None, None]
+        eS = jnp.where(w, eS, 0.0)
+        fpS = jnp.where(w, fpS, 0.0)
+        oob_lo = jnp.sum(jnp.where(w, lo, False))
+        oob_hi = jnp.sum(jnp.where(w, hi, False))
 
-    # ---- phase 3: CV back-force (:444-502) --------------------------------
-    cvf = jnp.sum(pforce * partial, axis=-1)               # (N,)
+        wB = probs_all[jc]                                  # (rows, K, Smax)
+        fmix = jnp.einsum("ns,nkt,nkst->nk", wA, wB, fpS)
+        emix = jnp.einsum("ns,nkt,nkst->nk", wA, wB, eS)
+        f_r = jnp.sum(fmix[..., None] * dr, axis=1)
+        pe_r = 0.5 * jnp.sum(emix)
+        vir_r = common.pair_virial(fmix, dr)
+
+        pf_r = jnp.zeros(wA.shape, wA.dtype)
+        if params.feedback == "always":
+            # two-body energy feedback (:427-435): every directed pair
+            ub = jnp.einsum("nkt,nkst->nks", wB, eS)        # Σ_β p_β u_sβ
+            u_last = jnp.take_along_axis(
+                ub, jnp.broadcast_to(nslast_r[:, None, None],
+                                     (ub.shape[0], ub.shape[1], 1)),
+                axis=2)[..., 0]
+            fb = -(ub - u_last[..., None])                  # (rows, K, Smax)
+            pf_r = jnp.where(explicit_r[:, None, :],
+                             jnp.where(within[..., None], fb, 0.0),
+                             0.0).sum(axis=1)
+        elif params.feedback != "never":
+            raise ValueError(f"unknown feedback mode {params.feedback!r}")
+        return (f_r, pf_r), (pe_r, vir_r, oob_lo, oob_hi)
+
+    (f, pforce_fb), (pe, virial, oob_lo, oob_hi) = common.map_row_chunks(
+        pass2, n, chunk,
+        (idx, x, typ, probs_all, explicit_all, jnp.maximum(ns - 1, 0)))
+    pforce = pforce_one + pforce_fb
+
+    # ---- phase 3 (chunked): CV back-force (:444-502) -----------------------
+    cvf_all = jnp.sum(pforce * partial, axis=-1)            # (N,)
     sign = -1.0 if params.conservative_sign else 1.0
-    g_i = sign * density.proximity_der(r, radius[:, None])
-    g_j = sign * density.proximity_der(r, radius[jc])
-    fcv_pair = jnp.where(within, cvf[:, None] * g_i + cvf[jc] * g_j, 0.0) / r
-    f = f + jnp.sum(fcv_pair[..., None] * dr, axis=1)
-    virial = virial + common.pair_virial(fcv_pair, dr)
+
+    def pass3(args):
+        idx_r, xi, ti_r, cvf_r, rad_r = args
+        jc, valid, dr, rsq = geom(idx_r, xi)
+        within = valid & (rsq < common.take2d(params.cutsq, ti_r[:, None],
+                                              typ[jc]))
+        r = jnp.sqrt(jnp.where(within, rsq, 1.0))
+        g_i = sign * density.proximity_der(r, rad_r[:, None])
+        g_j = sign * density.proximity_der(r, radius_all[jc])
+        fcv_pair = jnp.where(
+            within, cvf_r[:, None] * g_i + cvf_all[jc] * g_j, 0.0) / r
+        fcv_r = jnp.sum(fcv_pair[..., None] * dr, axis=1)
+        return (fcv_r,), (common.pair_virial(fcv_pair, dr),)
+
+    (fcv,), (vir_cv,) = common.map_row_chunks(
+        pass3, n, chunk, (idx, x, typ, cvf_all, radius_all))
 
     zeros = jnp.zeros_like(rho)
     return ForceOut(
-        f=f, ucgforce=zeros, scores=jnp.zeros((x.shape[0], 2), x.dtype),
-        pe=pe, virial=virial, oob_low=oob_lo, oob_high=oob_hi,
+        f=f + fcv, ucgforce=zeros, scores=jnp.zeros((n, 2), x.dtype),
+        pe=pe, virial=virial + vir_cv, oob_low=oob_lo, oob_high=oob_hi,
     )
 
 

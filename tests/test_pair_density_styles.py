@@ -274,3 +274,29 @@ def test_p3_backforce_compat_flag(rng):
     f0 = pair_bethe_density.compute(state, nbr, p_corr).f
     f1 = pair_bethe_density.compute(state, nbr, p_lit).f
     assert not np.allclose(np.asarray(f0), np.asarray(f1))
+
+
+@pytest.mark.parametrize("style", ["p3", "p4"])
+def test_density_styles_chunked_match(rng, style):
+    n, L = 48, 7.5
+    if style == "p3":
+        st, bank, tp = _p3_build(P3_SETTINGS)
+        types = np.where(rng.uniform(size=n) < 0.75, 2, 1).astype(np.int32)
+        state = _fluid_state(rng, n, L, types)
+        params = pair_bethe_density.make_params(bank, tp, KT, dtype=jnp.float64)
+        compute = pair_bethe_density.compute
+    else:
+        st, b = _p4_build()
+        types = np.where(rng.uniform(size=n) < 0.7, 1, 3).astype(np.int32)
+        state = _fluid_state(rng, n, L, types)
+        params = pair_rleucg.make_params(b, st, KT, dtype=jnp.float64)
+        compute = pair_rleucg.compute
+    spec = nb.make_spec(n, [L] * 3, RC, 0.3, method="nsq")
+    nbr = nb.build(state.x, state.box, spec)
+    out1 = compute(state, nbr, params)
+    out2 = compute(state, nbr, dataclasses.replace(params, chunk=16))
+    np.testing.assert_allclose(np.asarray(out1.f), np.asarray(out2.f),
+                               atol=1e-12)
+    np.testing.assert_allclose(float(out1.pe), float(out2.pe), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out1.virial),
+                               np.asarray(out2.virial), atol=1e-10)
