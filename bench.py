@@ -4,6 +4,12 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N, ...}
 
+Structure: the default invocation is an ORCHESTRATOR that runs each leg in a
+fresh subprocess — the axon TPU worker on this image intermittently crashes
+on 1M-shape programs, and a crashed worker poisons its whole process — with
+automatic size fallback (1M -> 512k -> 256k -> 128k) so a JSON line is always
+produced.  ``--main-only`` / ``--drift-only`` are the in-process legs.
+
 Baseline note: the reference publishes no numbers (BASELINE.md); the
 ``vs_baseline`` ratio is computed against an ESTIMATED 64-core CPU LAMMPS
 throughput for this workload (tabulated 4-table UCG pair style, ~90
@@ -16,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
@@ -24,19 +31,7 @@ sys.path.insert(0, ".")
 BASELINE_ATOM_STEPS_PER_SEC = 1.0e8   # estimated 64-core LAMMPS CPU (see above)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=2**20,
-                    help="bead count (default 2^20 ~ 1M)")
-    ap.add_argument("--quick", action="store_true",
-                    help="small size for smoke runs")
-    ap.add_argument("--steps", type=int, default=100,
-                    help="timed steps (after warmup)")
-    ap.add_argument("--chunk", type=int, default=16384)
-    args = ap.parse_args()
-
-    n = 4096 if args.quick else args.n
-
+def run_main(n: int, steps: int, chunk: int) -> dict:
     import dataclasses
 
     import jax
@@ -44,15 +39,13 @@ def main():
     from __graft_entry__ import _build_sim
 
     sim = _build_sim(n=n, reneigh_every=10)
-    if args.chunk and n % args.chunk == 0:
-        sim.pair_params = dataclasses.replace(sim.pair_params,
-                                              chunk=args.chunk)
+    if chunk and n % chunk == 0:
+        sim.pair_params = dataclasses.replace(sim.pair_params, chunk=chunk)
     cfg = sim.cfg
-    nblocks = max(args.steps // cfg.reneigh_every, 1)
+    nblocks = max(steps // cfg.reneigh_every, 1)
     total_steps = nblocks * cfg.reneigh_every
     window = (0, total_steps * 2)
 
-    # compile + warmup (one fused block)
     t0 = time.time()
     sim.setup(window)
     sim.run_fused(1, run_window=window)
@@ -64,29 +57,124 @@ def main():
     jax.block_until_ready(sim.state.x)
     wall = time.time() - t0
 
+    row = sim.thermo()
     steps_per_sec = total_steps / wall
     atom_steps = steps_per_sec * n
-    # LJ-units "ns/day" analogue: tau/day (dt = 0.004 tau)
-    tau_per_day = steps_per_sec * cfg.dt * 86400.0
-
-    row = sim.thermo()
-    result = {
+    return {
         "metric": f"MD steps/sec, {n}-bead 2-state UCG-LD fluid "
                   f"(wall/hard+bias, lambda-Langevin, ucgstate), single chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
-        "vs_baseline": round(atom_steps / BASELINE_ATOM_STEPS_PER_SEC, 3),
+        "vs_baseline": round(atom_steps / BASELINE_ATOM_STEPS_PER_SEC, 4),
         "atom_steps_per_sec": round(atom_steps, 1),
-        "tau_per_day": round(tau_per_day, 1),
+        "tau_per_day": round(steps_per_sec * cfg.dt * 86400.0, 1),
         "n_atoms": n,
         "timed_steps": total_steps,
         "compile_s": round(compile_s, 1),
         "etotal": round(row["etotal"], 3),
         "temp": round(row["temp"], 4),
-        "baseline_note": "vs est. 64-core CPU LAMMPS 1e8 atom-steps/s "
-                         "(no published reference numbers; BASELINE.md)",
         "device": str(jax.devices()[0]),
     }
+
+
+def run_drift(n: int) -> dict:
+    """NVE energy-drift acceptance check (BASELINE: < 1e-4 relative):
+    thermostat off, dt = 0.002; conserved H = KE + KE_lam + PE(+bias) +
+    sum(lam*dmu).  Integrator/precision quality is size-independent; capped
+    at 32k."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_sim
+
+    sim = _build_sim(n=min(n, 32768), reneigh_every=10)
+    sim.cfg = dataclasses.replace(sim.cfg, langevin=None, dt=0.002)
+
+    def hamiltonian(s):
+        rw = s.thermo()
+        tpp = s.pair_params.tp
+        mu_term = float(jnp.sum(jnp.where(
+            tpp.n_states[s.state.typ] > 1,
+            s.state.ucgl * tpp.mu_diff[s.state.typ], 0.0)))
+        return rw["etotal"] + mu_term
+
+    sim.setup((0, 200))
+    sim.run_fused(1, run_window=(0, 200))
+    e0 = hamiltonian(sim)
+    sim.run_fused(19, run_window=(0, 200))   # 190 more NVE steps
+    e1 = hamiltonian(sim)
+    return {"drift": abs(e1 - e0) / max(abs(e0), 1e-12)}
+
+
+def _sub(cmd_args: list, timeout: int):
+    try:
+        out = subprocess.run([sys.executable, __file__] + cmd_args,
+                             capture_output=True, text=True, timeout=timeout)
+        for line in out.stdout.strip().splitlines()[::-1]:
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2**20,
+                    help="bead count (default 2^20 ~ 1M)")
+    ap.add_argument("--quick", action="store_true",
+                    help="small size for smoke runs")
+    ap.add_argument("--steps", type=int, default=100,
+                    help="timed steps (after warmup)")
+    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--main-only", action="store_true")
+    ap.add_argument("--drift-only", action="store_true")
+    args = ap.parse_args()
+
+    n = 4096 if args.quick else args.n
+
+    if args.main_only:
+        print(json.dumps(run_main(n, args.steps, args.chunk)))
+        return
+    if args.drift_only:
+        print(json.dumps(run_drift(n)))
+        return
+
+    if args.quick:
+        result = run_main(n, args.steps, args.chunk)
+        drift = run_drift(n)["drift"]
+    else:
+        result = None
+        size = n
+        attempted = []
+        while result is None and size >= 4096:
+            attempted.append(size)
+            result = _sub(["--main-only", "--n", str(size),
+                           "--steps", str(args.steps),
+                           "--chunk", str(args.chunk)], timeout=4800)
+            if result is None:
+                time.sleep(60)      # let the TPU worker recover
+                size //= 2
+        if result is None:
+            print(json.dumps({"metric": "bench failed at all sizes",
+                              "value": 0.0, "unit": "steps/s",
+                              "vs_baseline": 0.0, "attempted": attempted}))
+            return
+        if len(attempted) > 1:
+            result["fallback_note"] = (
+                f"sizes {attempted[:-1]} crashed the axon TPU worker "
+                "(intermittent on 1M-shape programs; a full 1M run has "
+                "completed on this chip — see BENCH history); reporting the "
+                "largest size that completed")
+        d = _sub(["--drift-only", "--n", str(n)], timeout=1800)
+        drift = d["drift"] if d else None
+
+    result["nve_energy_drift_rel_190steps_dt0.002"] = (
+        float(f"{drift:.3e}") if drift is not None else None)
+    result["baseline_note"] = (
+        "vs est. 64-core CPU LAMMPS 1e8 atom-steps/s "
+        "(no published reference numbers; BASELINE.md)")
     print(json.dumps(result))
 
 
