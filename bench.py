@@ -31,10 +31,23 @@ sys.path.insert(0, ".")
 BASELINE_ATOM_STEPS_PER_SEC = 1.0e8   # estimated 64-core LAMMPS CPU (see above)
 
 
+def _enable_cache():
+    # persistent compilation cache: compiles are both slow (minutes via the
+    # axon remote-compile helper) and the trigger for TPU-worker crashes;
+    # caching them makes repeat bench runs fast and far more reliable
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def run_main(n: int, steps: int, chunk: int) -> dict:
     import dataclasses
 
     import jax
+
+    _enable_cache()
 
     from __graft_entry__ import _build_sim
 
@@ -88,6 +101,7 @@ def run_drift(n: int) -> dict:
 
     from __graft_entry__ import _build_sim
 
+    _enable_cache()
     sim = _build_sim(n=min(n, 32768), reneigh_every=10)
     sim.cfg = dataclasses.replace(sim.cfg, langevin=None, dt=0.002)
 
