@@ -61,7 +61,10 @@ def run_main(n: int, steps: int, chunk: int) -> dict:
 
     t0 = time.time()
     sim.setup(window)
-    sim.run_fused(1, run_window=window)
+    # warm up with the SAME static nblocks as the timed run — a different
+    # block count is a different XLA program and would put its compile
+    # inside the timed region
+    sim.run_fused(nblocks, run_window=window)
     jax.block_until_ready(sim.state.x)
     compile_s = time.time() - t0
 

@@ -48,6 +48,8 @@ class UCGLDParams:
     kT: jax.Array      # scalar; pulled from the thermostat fix at init time
                        # (pair_table_ucgld.cpp:872-881)
     chunk: int = 0     # row-chunk size for the pair loop (0 = unchunked)
+    cheb: "object | None" = None   # ChebBank for the fused Pallas kernel path
+                                   # (ops/pallas_pair.py); None = XLA path
 
 
 def compute(state: SimState, nbr: NeighborList, params: UCGLDParams) -> ForceOut:

@@ -44,9 +44,22 @@ class ChebBank:
     degree: int = 16
 
 
-def fit_bank(bank: TableBank, degree: int = 16, oversample: int = 4,
-             dtype=jnp.float32) -> ChebBank:
-    """Fit every table's e and f/r channels of a uniform LINEAR bank."""
+def fit_bank(bank: TableBank, degree: int | None = None, oversample: int = 4,
+             dtype=jnp.float32, rel_tol: float = 1e-5) -> ChebBank:
+    """Fit every table's e and f/r channels of a uniform LINEAR bank.
+
+    degree=None auto-selects the smallest degree in {6, 8, 12, 16, 20, 24}
+    whose max relative fit error is below ``rel_tol`` (the kernel cost is
+    ~10 VPU FMAs per degree per candidate block, so smaller is faster);
+    falls back to the largest candidate if none passes — callers gate on
+    ``max_rel_err`` anyway."""
+    if degree is None:
+        last = None
+        for d in (6, 8, 12, 16, 20, 24):
+            last = fit_bank(bank, degree=d, oversample=oversample, dtype=dtype)
+            if float(np.max(np.asarray(last.max_rel_err))) < rel_tol:
+                return last
+        return last
     if bank.style != LINEAR or not bank.uniform:
         raise ValueError("ChebBank requires a uniform LINEAR TableBank")
     T = bank.n_tables

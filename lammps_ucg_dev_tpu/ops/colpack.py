@@ -1,0 +1,484 @@
+"""Column-packed pair candidates — the production data structure for the
+fused Pallas pair kernel (GROMACS-nbnxn-inspired, re-shaped for TPU vregs).
+
+Why this geometry (v2; replaces the cubic-cell cluster list of
+ops/clusters.py): the round-1 cluster kernel was numerically exact but lost
+end-to-end because (a) cubic cells of side cutoff+skin at fluid densities are
+~30% occupied, so most staged lanes were padding, and (b) staging a j-cluster
+cost 16 scalar-indexed row loads + 7 sub-lane stores.  Column packing removes
+both:
+
+* Atoms are binned into **x-y columns** of side >= cutoff+skin and sorted by
+  z within each column.  Consecutive slots are spatially adjacent, and real
+  slots are ~dense (padding only at column tops), so staged lanes are almost
+  all real atoms.
+* For an i-group (G clusters of 8 atoms, contiguous in z), ALL candidate
+  partners in a stencil column form a **contiguous z-window** of slots.  The
+  kernel fetches each window with ONE async DMA of an (8 attrs, 128 slots)
+  tile — zero scalar staging, zero transposes, attributes arrive vreg-shaped.
+* z-periodicity is handled by **ghost slots**: copies of each column's top
+  (bottom) atoms appended below (above) with z shifted by -+Lz, so windows
+  never wrap.  x/y periodicity stays min-image in the kernel (columns wrap
+  through the stencil indices).
+
+The 3x3 column stencil is provably sufficient: column side >= cutoff+skin
+means any pair within the list cutoff has |dx|,|dy| <= side, i.e. the partner
+is in an adjacent column; the z-window bounds [z_lo - rc, z_hi + rc] cover z
+by construction (rc = cutoff + skin, the standard Verlet-skin argument, both
+for window validity between rebuilds and for ghost coverage).
+
+TPU constraint shaping the layout: Mosaic DMA slices must be 128-aligned in
+the lane dimension, so windows cannot start at arbitrary z offsets of a
+(ncol, 8, czp) array.  Instead the per-step pack replicates each column's
+slots into **overlapped z-pages**: page k covers slots [k*S, k*S + 128), so
+any window whose span fits 128 - S slots lies entirely inside the page
+k = z0 // S — the DMA source ``pages[page, col]`` is one perfectly aligned
+(8, 128) tile reached through untiled leading dims.
+
+Reference correspondence: this plays the role of LAMMPS's binned half/full
+neighbor list + ghost atom communication (SURVEY.md §2.3) for the fused
+kernel path; the XLA path keeps ops/neighbor.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_ucg_dev_tpu.core.state import Box, pytree_dataclass
+
+CL = 8          # atoms per cluster (vreg sublane count, f32)
+W = 128         # window width in slots (vreg lane count)
+NSTEN = 9       # 3x3 x-y column stencil
+
+
+@pytree_dataclass(meta_fields=("mx", "my", "cz", "gz", "czp", "G", "S"))
+class ColumnList:
+    """Per-reneighbor candidate structure (fixed shapes, jit-safe).
+
+    Extended slot space: column c owns rows [c*czp, (c+1)*czp) =
+    [gz ghost-bottom | count real | ghost-top copies | pads].  Real slot
+    space (kernel i-side and outputs) is the (ncol*cz,) column-major region
+    at fixed offsets [gz, gz+cz).
+    """
+
+    slot_atom_ext: jax.Array   # (ncol*czp,) int32 atom id; N = padding
+    zshift: jax.Array          # (ncol*czp,) int8 in {-1, 0, +1} (units of Lz)
+    atom_slot: jax.Array       # (N,) int32 -> real slot index
+    i_valid: jax.Array         # (ncol*cz,) bool — real slot holds a real atom
+                               # (not a ghost-top copy placed in the region)
+    meta: jax.Array            # (n_prog, 32) int32: [3 padded-col starts,
+                               #  3 page ids, pad] (one per stencil x-row)
+    x0: jax.Array              # (N, 3) build-time positions
+    overflow: jax.Array        # () bool — any capacity/window/ghost overflow
+    max_occupancy: jax.Array   # () int32 — max window span seen (<= W ok)
+    mx: int
+    my: int
+    cz: int                    # real slots per column (multiple of 8*G)
+    gz: int                    # ghost slots at the column bottom
+    czp: int                   # total slots per column (>= W; W + mult of S)
+    G: int                     # i-clusters per kernel program
+    S: int                     # z-page stride (pages overlap by W - S)
+
+    @property
+    def ncol(self) -> int:
+        return self.mx * self.my
+
+    @property
+    def n_slots(self) -> int:
+        return self.ncol * self.cz
+
+    @property
+    def gs(self) -> int:
+        return CL * self.G
+
+    @property
+    def n_prog(self) -> int:
+        return self.meta.shape[0]
+
+    @property
+    def npage(self) -> int:
+        return (self.czp - W) // self.S + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ColumnSpec:
+    cutoff: float
+    skin: float
+    mx: int
+    my: int
+    cz: int
+    gz: int
+    czp: int
+    G: int
+    S: int
+    stencil_cols: np.ndarray   # (ncol, 9) int32, static, x-row-major
+
+    @property
+    def rc(self) -> float:
+        return self.cutoff + self.skin
+
+    @property
+    def gs(self) -> int:
+        return CL * self.G
+
+    @property
+    def ncol(self) -> int:
+        return self.mx * self.my
+
+    @property
+    def gpc(self) -> int:
+        return self.cz // self.gs
+
+    @property
+    def npage(self) -> int:
+        return (self.czp - W) // self.S + 1
+
+    def build(self, x, box):
+        return build(x, box, self)
+
+
+def _grid_dims(box_lengths, rc):
+    L = np.asarray(box_lengths, np.float64)
+    mx, my = (max(int(L[d] / rc), 1) for d in (0, 1))
+    if mx < 3 or my < 3:
+        raise ValueError(f"column grid needs >= 3 columns per side "
+                         f"(got {mx}x{my}); box too small for the kernel path")
+    if L[2] < 2.0 * rc:
+        raise ValueError("Lz must be >= 2*(cutoff+skin) for ghost-based "
+                         "z-periodicity")
+    return L, mx, my
+
+
+def _stencil(mx, my):
+    """(ncol, 9) stencil in x-row-major order: rows = dx in (-1,0,1), each
+    row the 3 consecutive dy columns."""
+    ncol = mx * my
+    cx, cy = np.divmod(np.arange(ncol, dtype=np.int64), my)
+    sten = np.stack([((cx + dx) % mx) * my + (cy + dy) % my
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                    axis=1).astype(np.int32)
+    return sten
+
+
+def _round_czp(cz, gz, S):
+    """czp >= cz + 2*gz with (czp - W) a non-negative multiple of S."""
+    base = max(cz + 2 * gz, W)
+    return W + int(-(-(base - W) // S) * S)
+
+
+def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
+              G: int | None = None, S: int | None = None,
+              cz: int | None = None, gz: int | None = None) -> ColumnSpec:
+    """Analytic spec from mean density (no positions needed).  Prefer
+    :func:`measure_spec` at setup time — it sizes from the actual
+    configuration and is robust to structured/inhomogeneous systems."""
+    L, mx, my = _grid_dims(box_lengths, cutoff + skin)
+    rc = cutoff + skin
+    ncol = mx * my
+    lam_z = n_atoms / (ncol * L[2])        # atoms per unit z per column
+    mean_col = n_atoms / ncol
+
+    # the x-row window unions 3 columns; model local under/over-density of
+    # own group vs neighbor row with a +-3 sigma ratio factor
+    ratio = (1.0 + 3.0 / math.sqrt(max(mean_col, 9.0))) ** 2
+
+    def est_span(g):
+        mean_w = CL * g * ratio + 2.0 * rc * lam_z
+        return mean_w + 5.0 * math.sqrt(max(mean_w, 1.0))
+
+    if G is None or S is None:
+        for g, s in _GS_CANDIDATES:
+            if G is not None and g != G:
+                continue
+            if S is not None and s != S:
+                continue
+            if est_span(g) <= W - s - 2:
+                G, S = g, s
+                break
+        else:
+            raise ValueError("estimated window span does not fit any page "
+                             "stride; density too high for this geometry")
+    gs = CL * G
+    if cz is None:
+        cap = mean_col + 6.0 * math.sqrt(max(mean_col, 1.0)) + 8
+        cz = int(-(-cap // gs) * gs)
+    if cz % gs:
+        raise ValueError(f"cz must be a multiple of {gs}")
+    if gz is None:
+        gmean = rc * lam_z
+        gz = int(-(-(gmean + 6.0 * math.sqrt(max(gmean, 1.0)) + 4) // CL) * CL)
+    return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=int(cz),
+                      gz=int(gz), czp=_round_czp(cz, gz, S), G=int(G),
+                      S=int(S), stencil_cols=_stencil(mx, my))
+
+
+# (G, S) preference order: large G first (fewer programs and DMAs), then
+# large S (less page replication).  Budget per row-window: W - S slots.
+_GS_CANDIDATES = [(8, 32), (8, 16), (4, 64), (4, 32), (4, 16),
+                  (2, 64), (2, 32), (2, 16), (1, 64), (1, 32), (1, 16)]
+
+
+def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
+                 span_margin: int = 10, G_max: int = 8) -> ColumnSpec:
+    """Data-driven spec: measure the actual x-row window spans / column
+    counts / ghost needs from the setup positions (host numpy) and size
+    (G, S), cz, gz with margins.  Robust to structured (lattice) or
+    inhomogeneous configurations where the analytic Poisson model of
+    :func:`make_spec` underestimates — the runtime overflow flag remains the
+    backstop as atoms move."""
+    xn = np.asarray(x, np.float64)
+    n = xn.shape[0]
+    rc = cutoff + skin
+    L, mx, my = _grid_dims(box_lengths, rc)
+    ncol = mx * my
+    Lz = L[2]
+    ccx = np.clip((xn[:, 0] / L[0] * mx).astype(np.int64), 0, mx - 1)
+    ccy = np.clip((xn[:, 1] / L[1] * my).astype(np.int64), 0, my - 1)
+    col = ccx * my + ccy
+    z = np.mod(xn[:, 2], Lz)
+    order = np.lexsort((z, col))
+    zc, colc = z[order], col[order]
+    starts = np.searchsorted(colc, np.arange(ncol))
+    ends = np.searchsorted(colc, np.arange(ncol), side="right")
+    counts = ends - starts
+    zcols = [zc[starts[c]:ends[c]] for c in range(ncol)]
+    zexts = [np.concatenate([zs - Lz, zs, zs + Lz]) for zs in zcols]
+    sten = _stencil(mx, my)
+
+    def max_col_span(g):
+        gs = CL * g
+        mx_span = 0
+        for c in range(ncol):
+            zs = zcols[c]
+            if len(zs) == 0:
+                continue
+            ng = -(-len(zs) // gs)
+            glo = zs[np.arange(ng) * gs] - rc
+            ghi = zs[np.minimum(np.arange(1, ng + 1) * gs, len(zs)) - 1] + rc
+            for nc in sten[c]:
+                z0 = np.searchsorted(zexts[nc], glo, side="left")
+                z1 = np.searchsorted(zexts[nc], ghi, side="right")
+                if ng:
+                    mx_span = max(mx_span, int((z1 - z0).max()))
+        return mx_span
+
+    spans = {}
+    G = S = None
+    for g, s in _GS_CANDIDATES:
+        if g > G_max:
+            continue
+        if g not in spans:
+            spans[g] = max_col_span(g)
+        if spans[g] + span_margin <= W - s:
+            G, S = g, s
+            break
+    if G is None:
+        raise ValueError(f"measured row spans {spans} + margin exceed every "
+                         f"page stride; geometry unsupported")
+    gs = CL * G
+    mean_col = max(n / ncol, 1.0)
+    cap = counts.max() + 4.0 * math.sqrt(mean_col) + 8
+    cz = int(-(-cap // gs) * gs)
+    need = max(int(max(np.sum(zs < rc) for zs in zcols)),
+               int(max(np.sum(zs > Lz - rc) for zs in zcols)))
+    gz = int(-(-(need + 4.0 * math.sqrt(max(need, 1.0)) + 4) // CL) * CL)
+    return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=cz,
+                      gz=gz, czp=_round_czp(cz, gz, S), G=G, S=S,
+                      stencil_cols=sten)
+
+
+def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
+    n = x.shape[0]
+    mx, my, cz, gz, czp, gs = (spec.mx, spec.my, spec.cz, spec.gz, spec.czp,
+                               spec.gs)
+    ncol = mx * my
+    rc = spec.rc
+    Lz = box.lengths[2]
+    dtype = x.dtype
+
+    # ---- bin into columns, z-sort within ----------------------------------
+    fx = (x[:, 0] - box.lo[0]) / box.lengths[0]
+    fy = (x[:, 1] - box.lo[1]) / box.lengths[1]
+    ccx = jnp.clip((fx * mx).astype(jnp.int32), 0, mx - 1)
+    ccy = jnp.clip((fy * my).astype(jnp.int32), 0, my - 1)
+    col = ccx * my + ccy
+    z = x[:, 2]
+    order = jnp.lexsort((z, col)).astype(jnp.int32)
+    sorted_col = col[order]
+    first = jnp.searchsorted(sorted_col, sorted_col, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    col_overflow = jnp.max(rank) >= cz
+    rank_c = jnp.clip(rank, 0, cz - 1)
+    rslot_sorted = sorted_col * cz + rank_c
+
+    slot_atom = jnp.full((ncol * cz,), n, dtype=jnp.int32).at[rslot_sorted].set(
+        order, indices_are_sorted=True, unique_indices=True)
+    atom_slot = jnp.zeros((n,), jnp.int32).at[order].set(
+        rslot_sorted, unique_indices=True)
+    count = jnp.bincount(col, length=ncol).astype(jnp.int32)   # (ncol,)
+
+    # real-region z values; pads take z = Lz so every column row is ascending
+    z_real = jnp.full((ncol * cz,), Lz, dtype=dtype).at[rslot_sorted].set(
+        z[order], indices_are_sorted=True, unique_indices=True
+    ).reshape(ncol, cz)
+    sa_real = slot_atom.reshape(ncol, cz)
+
+    # ---- extended column layout --------------------------------------------
+    # [gz ghost-bottom | count real | ghost-top copies | pads].  Ghost-top
+    # copies start IMMEDIATELY after the real atoms (dynamic offset), not at a
+    # fixed position: a fixed region would leave real-slot pads (z = Lz)
+    # between real atoms and ghost-tops, and any z-window crossing the top
+    # face would have to span all of them.  Pads take z = 3*Lz (beyond every
+    # query), so each column's zext stays ascending with zero dead interior.
+    # Real atoms keep fixed positions [gz, gz+rank) so slot gids are static.
+    q = jnp.arange(czp, dtype=jnp.int32)[None, :]              # (1, czp)
+    cnt = count[:, None]                                       # (ncol, 1)
+    is_bot = q < gz
+    is_real = (q >= gz) & (q < gz + cnt)
+    src = jnp.where(is_bot, cnt - gz + q,
+                    jnp.where(is_real, q - gz, q - gz - cnt))  # (ncol, czp)
+    ok = jnp.where(is_bot, src >= 0,
+                   is_real | (src < cnt))                      # top: src < cnt
+    srcc = jnp.clip(src, 0, cz - 1)
+    sa_ext = jnp.where(ok, jnp.take_along_axis(sa_real, srcc, axis=1), n)
+    shift = jnp.where(is_bot, -1, jnp.where(is_real, 0, 1)).astype(jnp.int8)
+    shift = jnp.where(ok, shift, 0)
+    zext = jnp.where(
+        ok,
+        jnp.take_along_axis(z_real, srcc, axis=1)
+        + shift.astype(dtype) * Lz,
+        jnp.where(is_bot, -Lz, 3 * Lz))                        # (ncol, czp)
+
+    slot_atom_ext = sa_ext.reshape(-1)
+    zshift = shift.reshape(-1)
+    # i-side validity: real region slots [gz+count, gz+cz) hold ghost-top
+    # copies, which must not act as i-atoms (their tallies are dropped by the
+    # atom_slot gather, but pe/virial partials would double count)
+    ri = jnp.arange(cz, dtype=jnp.int32)[None, :]
+    i_valid = (ri < cnt).reshape(-1)                           # (ncol*cz,)
+
+    # ghost capacity: every atom within rc of a z face must have a copy
+    need_top = count - jnp.sum(z_real < (Lz - rc), axis=1).astype(jnp.int32)
+    need_bot = jnp.sum(z_real < rc, axis=1).astype(jnp.int32)
+    ghost_overflow = (jnp.max(need_top) > gz) | (
+        jnp.max(count + need_bot) > (czp - gz))
+
+    # ---- per-program z-windows over the 9 stencil columns ------------------
+    gpc = spec.gpc
+    gi = jnp.arange(gpc, dtype=jnp.int32)
+    has = count[:, None] > gi[None, :] * gs                    # group non-empty
+    lo_idx = jnp.minimum(gi[None, :] * gs,
+                         jnp.maximum(count[:, None] - 1, 0))   # (ncol, gpc)
+    hi_idx = jnp.clip(count[:, None] - 1, gi[None, :] * gs,
+                      (gi[None, :] + 1) * gs - 1)
+    zlo_v = jnp.take_along_axis(z_real, lo_idx, axis=1)        # (ncol, gpc)
+    zhi_v = jnp.take_along_axis(z_real, hi_idx, axis=1)
+    # empty groups get a degenerate window at the column top (all-masked)
+    zlo = jnp.where(has, zlo_v, Lz) - rc
+    zhi = jnp.where(has, zhi_v, Lz) + rc
+
+    zext_sten = zext[jnp.asarray(spec.stencil_cols, jnp.int32)]  # (ncol,9,czp)
+
+    def win_col(zrows, vlo, vhi):
+        # zrows (9, czp) ascending; vlo/vhi (gpc,)
+        z0 = jax.vmap(lambda r: jnp.searchsorted(r, vlo, side="left"))(zrows)
+        z1 = jax.vmap(lambda r: jnp.searchsorted(r, vhi, side="right"))(zrows)
+        return z0.T, z1.T                                       # (gpc, 9)
+
+    z0, z1 = jax.vmap(win_col)(zext_sten, zlo, zhi)             # (ncol, gpc, 9)
+    # per (program, stencil column) page: aligned down to the stride S so the
+    # DMA source is a whole (8, W) tile of the pages array
+    S = spec.S
+    page = jnp.minimum(z0 // S, (czp - W) // S).astype(jnp.int32)
+    span = (z1 - page * S).astype(jnp.int32)
+    max_span = jnp.max(span)
+    win_overflow = max_span > W
+
+    n_prog = ncol * gpc
+    sten_rep = np.repeat(spec.stencil_cols, gpc, axis=0)        # (n_prog, 9)
+    meta = jnp.concatenate([
+        jnp.asarray(sten_rep, jnp.int32),
+        page.reshape(n_prog, NSTEN),
+        jnp.zeros((n_prog, 32 - 2 * NSTEN), jnp.int32),
+    ], axis=1)
+
+    return ColumnList(
+        slot_atom_ext=slot_atom_ext,
+        zshift=zshift,
+        atom_slot=atom_slot,
+        i_valid=i_valid,
+        meta=meta,
+        x0=x,
+        overflow=col_overflow | ghost_overflow | win_overflow,
+        max_occupancy=max_span,
+        mx=mx, my=my, cz=cz, gz=gz, czp=czp, G=spec.G, S=S,
+    )
+
+
+def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
+         ucgstate: jax.Array, dtype=jnp.float32):
+    """Per-step attribute packing (positions/λ/state change every step; the
+    slot mapping and pages persist for the reneighbor block).
+
+    Returns (ipack, pages):
+      ipack (ncol*cz, 8)  real slots, rows = [x y z λ state valid 0 0]
+      pages (npage, ncol, 8, W) overlapped z-pages of the extended slots,
+            attribute-major: page k of column c covers slots [k*S, k*S+W),
+            so each kernel window is pages[page, col] — one aligned tile
+    """
+    n = x.shape[0]
+    attrs = jnp.concatenate([
+        x.astype(dtype),
+        lam.astype(dtype)[:, None],
+        ucgstate.astype(dtype)[:, None],
+        jnp.ones((n, 1), dtype),
+        jnp.zeros((n, 2), dtype),
+    ], axis=1)
+    attrs = jnp.concatenate([attrs, jnp.zeros((1, 8), dtype)], axis=0)
+    ext = jnp.take(attrs, cl.slot_atom_ext, axis=0)            # (ncol*czp, 8)
+    Lz = box.lengths[2].astype(dtype)
+    ext = ext.at[:, 2].add(cl.zshift.astype(dtype) * Lz)
+    ext3 = ext.reshape(cl.ncol, cl.czp, 8)
+    ipack = ext3[:, cl.gz:cl.gz + cl.cz, :].reshape(cl.n_slots, 8)
+    # ghost-top copies living inside the real region must not act as i-atoms
+    ipack = ipack.at[:, 5].multiply(cl.i_valid.astype(dtype))
+
+    jp = ext3.transpose(0, 2, 1)                               # (ncol, 8, czp)
+    pages = jnp.stack([jp[:, :, k * cl.S:k * cl.S + W]
+                       for k in range(cl.npage)], axis=0)      # (npage,ncol,8,W)
+    return ipack, pages
+
+
+def as_neighbor_list(cl: ColumnList, n_atoms: int):
+    """Expand candidate windows into a padded per-atom neighbor list (test
+    oracle: coverage vs brute force, and reuse of the XLA pair styles).
+    Duplicate j entries (an atom appearing both as itself and as a z-ghost in
+    one program's windows) are removed since the XLA styles recompute
+    min-image distances themselves."""
+    from lammps_ucg_dev_tpu.ops import neighbor as nbrmod
+
+    n_prog = cl.n_prog
+    cols = cl.meta[:, :NSTEN]                                  # (n_prog, 9)
+    starts = cl.meta[:, NSTEN:2 * NSTEN] * cl.S
+    lanes = jnp.arange(W, dtype=jnp.int32)
+    eslot = (cols[:, :, None] * cl.czp
+             + starts[:, :, None] + lanes[None, None, :])      # (n_prog,9,W)
+    jat = cl.slot_atom_ext[eslot.reshape(n_prog, NSTEN * W)]
+    # dedupe within each program row (sort, drop equal-consecutive)
+    s = jnp.sort(jat, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((n_prog, 1), bool), s[:, 1:] == s[:, :-1]], axis=1)
+    jat = jnp.where(dup, n_atoms, s)
+
+    prog_of_slot = jnp.arange(cl.n_slots, dtype=jnp.int32) // cl.gs
+    idx = jat[prog_of_slot][cl.atom_slot]                      # (N, 9W)
+    self_idx = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
+    idx = jnp.where(idx == self_idx, n_atoms, idx)
+    return nbrmod.NeighborList(
+        idx=idx, x0=cl.x0, overflow=cl.overflow,
+        max_occupancy=cl.max_occupancy, capacity=NSTEN * W)

@@ -1,0 +1,306 @@
+"""Fused Pallas pair kernel over column-packed candidates (production path).
+
+This is the v2 kernel replacing ops/pallas_ucgld.py's cluster kernel.  Same
+physics (``pair_style table_ucgld``: λ-mixed 4-table energy/force, λ-forces,
+pseudolikelihood scores — pair_table_ucgld.cpp:111-541), new data movement:
+
+* One program owns G i-clusters (G·8 atoms, contiguous z-slab of one column,
+  see ops/colpack.py).  Its candidates are NINE (8 attr, 128 slot) z-windows,
+  one per stencil column, each fetched with a single async DMA from HBM —
+  zero scalar-indexed staging (the round-1 kernel's cost center: 16 row loads
+  + 7 sub-lane stores per 8 candidates).
+* Tables are Chebyshev series (ops/chebtab.py) with coefficients baked as
+  immediates.  All 8 channels (e00..e11, f00..f11) share ONE Chebyshev basis
+  recurrence: T_k is computed once per candidate block and dotted into 8
+  accumulators — 10 FMAs per degree instead of 16.
+* Per-atom-owned tallies (full-list/newton-off): each program writes only its
+  own G·8 rows; no scatter anywhere.
+
+Scope (same as v1): 2-state UCG, single actual type, uniform LINEAR tables
+with 4 combo tables (the flagship/bench config).  Callers must check
+:func:`supports`; the XLA path (models/pair_ucgld.py) remains the general
+fallback and correctness oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lammps_ucg_dev_tpu.core.state import ForceOut, SimState
+from lammps_ucg_dev_tpu.models.pair_ucgld import UCGLDParams
+from lammps_ucg_dev_tpu.ops import colpack
+from lammps_ucg_dev_tpu.ops.chebtab import ChebBank
+
+CL = colpack.CL
+W = colpack.W
+NSTEN = colpack.NSTEN
+
+
+def supports(params: UCGLDParams, n_atoms: int) -> bool:
+    """Static eligibility of the fused kernel for this system."""
+    tp = params.tp
+    ntypes = tp.cutsq.shape[0] - 1
+    return (
+        bool(params.bank.uniform)
+        and params.bank.n_tables == 4
+        and ntypes == 1
+        and int(np.asarray(tp.n_states)[1]) == 2
+    )
+
+
+def _kernel(ce, degree, G, gpc, czp, gz, S,
+            scal_ref, meta_ref, ipack_ref, pages_ref, out_ref, out2_ref,
+            jwin, sems):
+    """One program: G i-clusters vs 9 DMA'd stencil-column windows.
+
+    scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, dom_lo, dom_hi, ., .]
+    meta_ref (SMEM, (8,32) i32): rows [9 stencil cols, 9 page ids, pad]
+    ipack_ref (G*8, 8): own real slots [x y z λ state valid 0 0]
+    pages_ref (npage, ncol, 8, W) in HBM: overlapped z-pages
+    out_ref  (G*8, 8): [fx fy fz lamf s0 s1 0 0]
+    out2_ref (8, 8): per-program partials [pe vxx vyy vzz vxy vxz vyz oob_lo]
+    jwin     (NSTEN, 8, W) VMEM scratch; sems (NSTEN,) DMA semaphores
+    """
+    gs = G * CL
+    # meta rows come in 8-row SMEM blocks (TPU block-shape legality); this
+    # program's row is p % 8 within its block
+    mrow = pl.program_id(0) % 8
+
+    def window_dma(s):
+        c = meta_ref[mrow, s]
+        page = meta_ref[mrow, NSTEN + s]
+        return pltpu.make_async_copy(
+            pages_ref.at[page, c], jwin.at[s], sems.at[s])
+
+    for s in range(NSTEN):
+        window_dma(s).start()
+
+    Lx = scal_ref[0, 0]
+    Ly = scal_ref[0, 1]
+    cutsq = scal_ref[0, 2]
+    innersq = scal_ref[0, 3]
+    dom_lo = scal_ref[0, 4]
+    dom_hi = scal_ref[0, 5]
+
+    p = pl.program_id(0)
+    col = p // gpc
+    g = p - col * gpc
+    base_e = col * czp + gz + g * gs          # extended slot id of i row 0
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0).astype(jnp.float32)
+
+    for s in range(NSTEN):
+        window_dma(s).wait()
+
+    pe_t = jnp.zeros((), jnp.float32)
+    vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
+    oob_t = jnp.zeros((), jnp.float32)
+
+    for b in range(G):
+        sl = slice(b * CL, (b + 1) * CL)
+        xi = ipack_ref[sl, 0:1]
+        yi = ipack_ref[sl, 1:2]
+        zi = ipack_ref[sl, 2:3]
+        li = ipack_ref[sl, 3:4]
+        vi = ipack_ref[sl, 5:6]
+        gidi = (base_e + b * CL).astype(jnp.float32) + sub     # (CL, 1)
+
+        fx = jnp.zeros((CL, W), jnp.float32)
+        fy = jnp.zeros((CL, W), jnp.float32)
+        fz = jnp.zeros((CL, W), jnp.float32)
+        lamf = jnp.zeros((CL, W), jnp.float32)
+        s0 = jnp.zeros((CL, W), jnp.float32)
+        s1 = jnp.zeros((CL, W), jnp.float32)
+        pe = jnp.zeros((CL, W), jnp.float32)
+        vir = [jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
+        oob = jnp.zeros((CL, W), jnp.float32)
+
+        for s in range(NSTEN):
+            c = meta_ref[mrow, s]
+            z0 = meta_ref[mrow, NSTEN + s] * S
+            xj = jwin[s, 0:1, :]
+            yj = jwin[s, 1:2, :]
+            zj = jwin[s, 2:3, :]
+            lj = jwin[s, 3:4, :]
+            sj = jwin[s, 4:5, :]
+            vj = jwin[s, 5:6, :]
+            gidj = (c * czp + z0).astype(jnp.float32) + lane   # (1, W)
+
+            dx = xi - xj
+            dx = dx - Lx * jnp.round(dx / Lx)
+            dy = yi - yj
+            dy = dy - Ly * jnp.round(dy / Ly)
+            dz = zi - zj                       # ghosts carry shifted z
+            rsq = dx * dx + dy * dy + dz * dz
+
+            mask = ((rsq < cutsq) & (vj > 0.5) & (vi > 0.5)
+                    & (gidi != gidj))
+            rsqm = jnp.where(mask, rsq, dom_hi)
+            oob = oob + jnp.where(mask & (rsq < innersq), 1.0, 0.0)
+
+            u = 2.0 * (rsqm - dom_lo) / (dom_hi - dom_lo) - 1.0
+            u = jnp.clip(u, -1.0, 1.0)
+
+            # shared-basis Chebyshev: one T_k recurrence, 8 channel dots
+            acc = [jnp.full_like(u, ce[r][0]) + ce[r][1] * u
+                   for r in range(8)]
+            tm2 = jnp.ones_like(u)
+            tm1 = u
+            for k in range(2, degree):
+                tk = 2.0 * u * tm1 - tm2
+                for r in range(8):
+                    acc[r] = acc[r] + ce[r][k] * tk
+                tm2, tm1 = tm1, tk
+            e00, e01, e10, e11, f00, f01, f10, f11 = acc
+
+            mi = 1.0 - li
+            mj = 1.0 - lj
+            w00 = mi * mj
+            w01 = mi * lj
+            w10 = li * mj
+            w11 = li * lj
+            zero = jnp.zeros_like(u)
+            emix = jnp.where(
+                mask, w00 * e00 + w01 * e01 + w10 * e10 + w11 * e11, zero)
+            fmix = jnp.where(
+                mask, w00 * f00 + w01 * f01 + w10 * f10 + w11 * f11, zero)
+
+            fx = fx + fmix * dx
+            fy = fy + fmix * dy
+            fz = fz + fmix * dz
+            pe = pe + emix
+            vir[0] = vir[0] + fmix * dx * dx
+            vir[1] = vir[1] + fmix * dy * dy
+            vir[2] = vir[2] + fmix * dz * dz
+            vir[3] = vir[3] + fmix * dx * dy
+            vir[4] = vir[4] + fmix * dx * dz
+            vir[5] = vir[5] + fmix * dy * dz
+
+            # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00))
+            lamf = lamf - jnp.where(
+                mask, lj * (e11 - e01) + mj * (e10 - e00), zero)
+            # pseudolikelihood scores at the partner's discrete state
+            sj1 = sj > 0.5
+            s0 = s0 - jnp.where(mask, jnp.where(sj1, e01, e00), zero)
+            s1 = s1 - jnp.where(mask, jnp.where(sj1, e11, e10), zero)
+
+        out_ref[sl, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
+        out_ref[sl, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
+        out_ref[sl, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
+        out_ref[sl, 3:4] = jnp.sum(lamf, axis=1, keepdims=True)
+        out_ref[sl, 4:5] = jnp.sum(s0, axis=1, keepdims=True)
+        out_ref[sl, 5:6] = jnp.sum(s1, axis=1, keepdims=True)
+        out_ref[sl, 6:8] = jnp.zeros((CL, 2), jnp.float32)
+
+        pe_t = pe_t + jnp.sum(pe)
+        for v in range(6):
+            vir_t[v] = vir_t[v] + jnp.sum(vir[v])
+        oob_t = oob_t + jnp.sum(oob)
+
+    row = jnp.concatenate([
+        pe_t[None], vir_t[0][None], vir_t[1][None], vir_t[2][None],
+        vir_t[3][None], vir_t[4][None], vir_t[5][None], oob_t[None],
+    ])[None, :]
+    out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
+
+
+def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
+            cheb: ChebBank, interpret: bool = False) -> ForceOut:
+    """ForceOut-compatible fused evaluation (see module docstring for scope)."""
+    n = state.x.shape[0]
+    tp = params.tp
+    dtype = jnp.float32
+
+    ipack, pages = colpack.pack(cl, state.box, state.x, state.ucgl,
+                                state.ucgstate, dtype=dtype)
+    L = state.box.lengths.astype(dtype)
+    scal = jnp.stack([
+        L[0], L[1],
+        tp.cutsq[1, 1].astype(dtype),
+        params.bank.innersq[0].astype(dtype),
+        cheb.lo.astype(dtype), cheb.hi.astype(dtype),
+        jnp.zeros((), dtype), jnp.zeros((), dtype),
+    ])[None, :]
+
+    G, gs, gpc = cl.G, cl.gs, cl.cz // cl.gs
+    n_prog = cl.n_prog
+    ce = [[float(c) for c in row]
+          for row in np.asarray(cheb.coeffs, np.float64)]
+    kern = functools.partial(_kernel, ce, cheb.degree, G, gpc, cl.czp, cl.gz,
+                             cl.S)
+
+    meta = cl.meta
+    if meta.shape[0] % 8:
+        meta = jnp.pad(meta, ((0, -meta.shape[0] % 8), (0, 0)))
+
+    out, out2 = pl.pallas_call(
+        kern,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 32), lambda p: (p // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            # pages stay in HBM; window DMAs slice only the untiled leading
+            # dims (page id, padded column), never the (8, W) tile
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cl.n_slots, 8), dtype),
+            jax.ShapeDtypeStruct((n_prog * 8, 8), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NSTEN, 8, W), dtype),
+            pltpu.SemaphoreType.DMA((NSTEN,)),
+        ],
+        interpret=interpret,
+    )(scal, meta, ipack, pages)
+
+    out_at = jnp.take(out, cl.atom_slot, axis=0)               # (N, 8)
+    f = out_at[:, 0:3]
+    is_ucg = tp.n_states[state.typ] > 1
+    ucgforce = jnp.where(is_ucg, out_at[:, 3] - tp.mu_diff[state.typ], 0.0)
+    kT = params.kT.astype(dtype)
+    scores = out_at[:, 4:6] / kT
+    scores = scores.at[:, 1].add(-tp.mu_diff[state.typ] / kT)
+    scores = jnp.where(is_ucg[:, None], scores, 0.0)
+
+    totals = jnp.sum(out2[::8], axis=0)
+    return ForceOut(
+        f=f,
+        ucgforce=ucgforce,
+        scores=scores,
+        pe=0.5 * totals[0],
+        virial=0.5 * totals[1:7],
+        oob_low=totals[7].astype(jnp.int32),
+        oob_high=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_style(state: SimState, cl: colpack.ColumnList,
+                  params: UCGLDParams) -> ForceOut:
+    """Simulation-compatible pair_compute: reads the ChebBank from
+    ``params.cheb`` (set it via ``chebtab.fit_bank``); ``nbr`` is a
+    ColumnList built by ops/colpack.py."""
+    return compute(state, cl, params, params.cheb)
+
+
+def make_compute(params: UCGLDParams, cheb: ChebBank, interpret: bool = False):
+    """Bind (params, cheb) into a Simulation-compatible pair_compute whose
+    ``nbr`` argument is a ColumnList."""
+
+    def fn(state, cl, _params):
+        return compute(state, cl, params, cheb, interpret=interpret)
+
+    return fn

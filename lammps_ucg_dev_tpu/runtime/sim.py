@@ -33,6 +33,7 @@ from lammps_ucg_dev_tpu.fixes import cluster_switch as fcs
 from lammps_ucg_dev_tpu.fixes import integrate as fi
 from lammps_ucg_dev_tpu.fixes import langevin as fl
 from lammps_ucg_dev_tpu.fixes import ucgstate as fs
+from lammps_ucg_dev_tpu.ops import colpack
 from lammps_ucg_dev_tpu.ops import neighbor as nbrmod
 
 
@@ -86,6 +87,11 @@ class Simulation:
         self.pair_compute = pair_compute
         self.pair_params = pair_params
         self.nbr_spec = nbr_spec
+        # nbr_spec is either a NeighborSpec (XLA pair path: padded atom
+        # neighbor lists) or a colpack.ColumnSpec (fused Pallas kernel path:
+        # column/z-page candidate structure); both builders return objects
+        # with x0/overflow/max_occupancy, so the driver is agnostic
+        self._is_column = isinstance(nbr_spec, colpack.ColumnSpec)
         self.cfg = cfg
         self.extra_post_force = extra_post_force
         self._masses_by_type = jnp.asarray(system.masses, dtype=state.x.dtype)
@@ -153,7 +159,7 @@ class Simulation:
         cfg = self.cfg
         x_w, image = state.box.wrap(state.x, state.image)
         state = dataclasses.replace(state, x=x_w, image=image)
-        if cfg.sort_atoms and self.nbr_spec.method == "cell":
+        if cfg.sort_atoms and getattr(self.nbr_spec, "method", None) == "cell":
             cps = np.asarray(self.nbr_spec.cells_per_side)
             cid, _ = nbrmod._cell_index(state.x, state.box, cps)
             order = jnp.argsort(cid, stable=True).astype(jnp.int32)
@@ -164,7 +170,7 @@ class Simulation:
                 ucgforce=jnp.take(fcarry.ucgforce, order, axis=0),
                 scores=jnp.take(fcarry.scores, order, axis=0),
             )
-        nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
+        nbr = self._nbr_build(state)
 
         def body(carry, _):
             state, fout = carry
@@ -185,12 +191,20 @@ class Simulation:
         danger = nbrmod.displacement_check(nbr, state.x, state.box, self.nbr_spec.skin)
         return state, fout, nbr.overflow, nbr.max_occupancy, danger
 
+    def _nbr_build(self, state: SimState):
+        return (colpack.build if self._is_column else nbrmod.build)(
+            state.x, state.box, self.nbr_spec)
+
     # ---- cluster_switch event (PRE_EXCHANGE analogue) ---------------------
 
     def _cswitch_impl(self, state: SimState, stats):
         params_cs, _ = self.cswitch
         x_w, image = state.box.wrap(state.x, state.image)
         state = dataclasses.replace(state, x=x_w, image=image)
+        if self._is_column:
+            raise NotImplementedError(
+                "fix cluster_switch requires the atom-neighbor-list path "
+                "(NeighborSpec); the column/kernel path does not build one")
         nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
         key, sub = jax.random.split(state.key)
         state = dataclasses.replace(state, key=key)
@@ -222,11 +236,11 @@ class Simulation:
         state = self.state
         x_w, image = state.box.wrap(state.x, state.image)
         state = dataclasses.replace(state, x=x_w, image=image)
-        nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
+        nbr = self._nbr_build(state)
         if bool(nbr.overflow):
             raise RuntimeError(
                 f"neighbor capacity exceeded at setup (max occupancy "
-                f"{int(nbr.max_occupancy)} > {self.nbr_spec.capacity})"
+                f"{int(nbr.max_occupancy)})"
             )
         state, fout = jax.jit(self._forces)(state, nbr, jnp.asarray(run_window))
         self.state = state
@@ -260,7 +274,7 @@ class Simulation:
                 if bool(overflow):
                     raise RuntimeError(
                         f"neighbor capacity exceeded (max occupancy "
-                        f"{int(maxocc)} > {self.nbr_spec.capacity})"
+                        f"{int(maxocc)})"
                     )
                 if bool(danger):
                     self.dangerous_builds += 1
@@ -290,8 +304,8 @@ class Simulation:
         if self.cfg.check_safety:
             if bool(overflow):
                 raise RuntimeError(
-                    f"neighbor capacity exceeded (max occupancy {int(maxocc)} "
-                    f"> {self.nbr_spec.capacity})")
+                    f"neighbor capacity exceeded (max occupancy "
+                    f"{int(maxocc)})")
             self.dangerous_builds += int(danger)
         return self.state
 

@@ -1,0 +1,46 @@
+"""Column-window fused Pallas kernel vs XLA pair style — interpret mode on
+CPU (the kernel's correctness gate; the TPU-compiled path is additionally
+A/B'd against the XLA path in the benchmark)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import helpers
+from lammps_ucg_dev_tpu.core.state import Box, SimState
+from lammps_ucg_dev_tpu.models import pair_ucgld
+from lammps_ucg_dev_tpu.ops import chebtab, colpack
+from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+
+def test_kernel_matches_xla(rng):
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    state = SimState.create(
+        x=x, typ=np.ones(n, np.int32), ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+    assert not bool(cl.overflow)
+
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    assert pk.supports(params, n)
+    cheb = chebtab.fit_bank(bank)
+    assert float(jnp.max(cheb.max_rel_err)) < 1e-4
+
+    out_k = pk.compute(state, cl, params, cheb, interpret=True)
+    out_x = pair_ucgld.compute(state, colpack.as_neighbor_list(cl, n), params)
+
+    scale = float(np.abs(np.asarray(out_x.f)).max())
+    np.testing.assert_allclose(np.asarray(out_k.f), np.asarray(out_x.f),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(float(out_k.pe), float(out_x.pe), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_k.ucgforce),
+                               np.asarray(out_x.ucgforce), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_k.scores),
+                               np.asarray(out_x.scores), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_k.virial),
+                               np.asarray(out_x.virial), rtol=1e-5, atol=1e-2)
+    assert int(out_k.oob_low) == 0
