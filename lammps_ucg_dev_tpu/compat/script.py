@@ -77,6 +77,8 @@ class _PendingPair:
     prior_mode: str = "ucgl"
     noise_level: float = 0.0
     noise_seed: int = 0
+    pair_cv: str = "conservative"        # bethe_density CV back-force mode
+    backforce_derivative: bool = True    # bethe_density dw/dr vs w/r
     coeffs: list = dataclasses.field(default_factory=list)
 
 
@@ -242,6 +244,14 @@ class ScriptRunner:
                 self.reneigh_every = int(a[i + 1])
                 i += 2
             elif a[i] in ("delay", "check", "once", "page"):
+                # this engine reneighbors on a fixed cadence (jit-friendly)
+                # with a displacement check surfacing dangerous builds; the
+                # LAMMPS delay/check triggers have no exact analogue
+                if (a[i], a[i + 1]) not in (("delay", "0"), ("check", "no"),
+                                            ("check", "yes")):
+                    self.log(f"WARNING: neigh_modify {a[i]} {a[i + 1]} has no "
+                             "effect (fixed-cadence rebuilds + displacement "
+                             "check)")
                 i += 2
             else:
                 i += 1
@@ -321,6 +331,19 @@ class ScriptRunner:
                     i += 2
                 else:
                     raise ValueError(f"unknown prior mode {a[i + 1]!r}")
+            elif kw == "pair_cv":
+                # engine extension (bethe_density): "conservative" (default,
+                # F = -dE/dx) or "reference" (literal back-force of
+                # pair_table_ucg_bethe_density.cpp:707-732, w(r)/r weighting)
+                if a[i + 1] not in ("conservative", "reference"):
+                    raise ValueError(f"unknown pair_cv mode {a[i + 1]!r}")
+                pending.pair_cv = a[i + 1]
+                i += 2
+            elif kw == "backforce_derivative":
+                # engine extension (bethe_density): yes = dw/dr weighting
+                # (P4's convention); no = the reference P3's w(r)/r (:719)
+                pending.backforce_derivative = a[i + 1] == "yes"
+                i += 2
             else:
                 raise ValueError(f"unknown pair_style keyword {kw!r}")
         self.pair = pending
@@ -362,8 +385,12 @@ class ScriptRunner:
                 prior_mode=p.prior_mode, noise_level=p.noise_level, dtype=dtype)
             return pair_bethe.compute, params, b.max_cutoff
         if p.style == "table_ucg_bethe_density":
+            if not p.pseudo:
+                raise ValueError("table_ucg_bethe_density implements only "
+                                 "pseudolikelihood scores (pseudo yes)")
             params = pair_bethe_density.make_params(
-                bank, tp, kT, method=p.method, dtype=dtype)
+                bank, tp, kT, method=p.method, pair_cv=p.pair_cv,
+                backforce_derivative=p.backforce_derivative, dtype=dtype)
             return pair_bethe_density.compute, params, b.max_cutoff
         raise AssertionError(p.style)
 
@@ -401,8 +428,11 @@ class ScriptRunner:
             elif rest[0] == "ld":
                 self.ucgstate_cfg = fs.UCGStateCfg(mode="ld")
             elif rest[0] == "mc":
+                # fix ucgstate mc seed rate (fix_ucgstate.cpp:37-67); the
+                # seed differentiates the MC draw stream (counter-based:
+                # folded into the per-step PRNG key)
                 self.ucgstate_cfg = fs.UCGStateCfg(
-                    mode="mc", mc_rate=float(rest[2]))
+                    mode="mc", seed=int(rest[1]), mc_rate=float(rest[2]))
             else:
                 raise ValueError(f"unknown ucgstate arg {rest[0]!r}")
         elif style == "cluster_switch":
@@ -556,12 +586,14 @@ class ScriptRunner:
         snaps = dmp.read_dump(fname)
         self._make_sim()
         sim = self.sim
-        for k, snap in enumerate(snaps):
+        for snap in snaps:
             if first is not None and snap.step < first:
                 continue
             if last is not None and snap.step > last:
                 continue
-            if k % every:
+            # LAMMPS rerun 'every N': process snapshots whose TIMESTEP is a
+            # multiple of N (read_dump.cpp), not every Nth snapshot
+            if every > 1 and snap.step % every:
                 continue
             st = dmp.apply_snapshot(sim.state, snap, fields=tuple(fields))
             st = dataclasses.replace(st, step=jnp.asarray(snap.step, jnp.int32))

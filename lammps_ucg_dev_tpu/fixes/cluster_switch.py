@@ -172,13 +172,16 @@ def check_cluster(state: SimState, nbr: NeighborList,
         _, changed, it = carry
         return changed & (it < params.max_sweeps)
 
-    labels, _, _ = jax.lax.while_loop(
+    labels, changed, _ = jax.lax.while_loop(
         cond, sweep, (labels, jnp.asarray(True), jnp.asarray(0)))
+    # exited while still changing => the max_sweeps cap truncated label
+    # propagation and labels may be wrong — surfaced like neighbor overflow
+    converged = ~changed
 
     cluster_id = labels[params.mol_seed]
     in_cluster = present & (labels == cluster_id)
     n_cluster = jnp.sum(in_cluster)
-    return labels, mol_state, present, in_cluster, n_cluster
+    return labels, mol_state, present, in_cluster, n_cluster, converged
 
 
 def attempt_switch(key, state: SimState, mol_state, present, in_cluster,
@@ -211,8 +214,8 @@ def apply(key, state: SimState, nbr: NeighborList,
     """One full cluster-switch event. Returns (state', stats', info) where
     info carries the per-mol cluster/state vectors for host-side logging
     (cluster_assignment.log / state_assignment.log, :704-725)."""
-    labels, mol_state, present, in_cluster, n_cluster = check_cluster(
-        state, nbr, params)
+    labels, mol_state, present, in_cluster, n_cluster, converged = (
+        check_cluster(state, nbr, params))
     # cluster switchable mols become designated ON (:693-697)
     switchable = (mol_state == 0) | (mol_state == 1)
     mol_state = jnp.where(switchable & in_cluster, 1, mol_state)
@@ -237,5 +240,6 @@ def apply(key, state: SimState, nbr: NeighborList,
         "mol_state": new_mol_state,
         "n_cluster": n_cluster,
         "accept": accept,
+        "converged": converged,
     }
     return state, ClusterSwitchStats(v=v), info

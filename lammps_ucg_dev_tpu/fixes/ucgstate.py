@@ -28,6 +28,8 @@ from lammps_ucg_dev_tpu.models.common import softmax_posterior
 class UCGStateCfg:
     mode: str = "default"        # "default" | "ld" | "mc"
     mc_rate: float = 0.01
+    seed: int = 0                # MC stream id (fix ucgstate mc SEED rate);
+                                 # folded into the per-step counter-based key
     compat_reference_mc: bool = False
     enabled: bool = True
 
@@ -45,6 +47,7 @@ def post_force(key: jax.Array, state: SimState, scores: jax.Array,
         odds = jnp.where(state.ucgstate == 0, ucgp / (1.0 - ucgp),
                          (1.0 - ucgp) / ucgp)
         mc_factor = jnp.minimum(odds, 1.0) * cfg.mc_rate
+        key = jax.random.fold_in(key, cfg.seed)
         rand = jnp.take(jax.random.uniform(key, ucgp.shape, dtype=ucgp.dtype),
                         state.tag - 1)
         accept = rand < mc_factor

@@ -219,6 +219,10 @@ class Simulation:
             return
         self.state, self.cswitch_stats, info = self._cswitch_jit(
             self.state, self.cswitch_stats)
+        if not bool(info["converged"]):
+            raise RuntimeError(
+                "cluster_switch label propagation hit max_sweeps without "
+                "converging — cluster labels may be wrong (raise max_sweeps)")
         # force recomputation after type flips
         self._fcarry = None
         if self.log_dir is not None:

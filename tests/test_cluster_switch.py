@@ -34,7 +34,7 @@ def test_cluster_labeling_chain():
     types = [ON, ON, ON, OFF, ON]
     mols = [1, 2, 3, 4, 5]
     state, nbr, params = _make(pos, types, mols)
-    labels, mol_state, present, in_cluster, n_cluster = cs.check_cluster(
+    labels, mol_state, present, in_cluster, n_cluster, conv = cs.check_cluster(
         state, nbr, params)
     assert int(n_cluster) == 3
     np.testing.assert_array_equal(np.asarray(in_cluster)[1:6],
@@ -86,7 +86,7 @@ def test_offset_partner_linking():
     mols = [1, 6, 8]
     state, nbr, params = _make(pos, types, mols, maxmol=8, mol_seed=6,
                                mol_offset=5, probON=0.0)
-    labels, mol_state, present, in_cluster, n_cluster = cs.check_cluster(
+    labels, mol_state, present, in_cluster, n_cluster, conv = cs.check_cluster(
         state, nbr, params)
     inc = np.asarray(in_cluster)
     assert inc[6] and inc[1]        # partner pair united with seed
@@ -99,7 +99,7 @@ def test_pbc_contact():
     types = [ON, ON, OFF]
     mols = [1, 2, 3]
     state, nbr, params = _make(pos, types, mols, L=L)
-    *_, in_cluster, n_cluster = cs.check_cluster(state, nbr, params)
+    *_, in_cluster, n_cluster, conv = cs.check_cluster(state, nbr, params)
     assert int(n_cluster) == 2
     assert np.asarray(in_cluster)[2]
 

@@ -142,3 +142,86 @@ def test_rleucg_deck_runs(tmp_path):
     assert np.isfinite(r.thermo_rows[-1]["etotal"])
     lam = np.asarray(r.state.ucgl)
     assert lam.min() > -0.5 and lam.max() < 1.5
+
+
+def _run_bethe_density_variant(tmp_path, sub, extra_kw, n=96, nsteps=20):
+    from make_deck import write_bethe_density_deck
+
+    d = tmp_path / sub
+    deck = write_bethe_density_deck(str(d), n=n, nsteps=nsteps,
+                                    switch_freq=1000, thermo_every=0)
+    text = open(deck).read()
+    if extra_kw:
+        text = text.replace("ucg.settings", f"ucg.settings {extra_kw}", 1)
+    r = ScriptRunner(workdir=str(d), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(text)
+    return np.asarray(r.state.x)
+
+
+def test_bethe_density_compat_flags_change_physics(tmp_path):
+    """pair_cv / backforce_derivative must be reachable from a deck and must
+    change the trajectory (they select between the conservative formulation
+    and the reference's literal CV back-force,
+    pair_table_ucg_bethe_density.cpp:707-732)."""
+    x_def = _run_bethe_density_variant(tmp_path, "a", "")
+    x_ref = _run_bethe_density_variant(tmp_path, "b", "pair_cv reference")
+    x_nbd = _run_bethe_density_variant(tmp_path, "c",
+                                       "backforce_derivative no")
+    assert np.abs(x_ref - x_def).max() > 1e-10
+    assert np.abs(x_nbd - x_def).max() > 1e-10
+    # defaults are reproducible
+    x_def2 = _run_bethe_density_variant(tmp_path, "d", "")
+    np.testing.assert_array_equal(x_def, x_def2)
+
+
+def test_ucgstate_mc_seed_changes_stream(tmp_path):
+    """fix ucgstate mc SEED rate: the seed must select a distinct MC draw
+    stream (fix_ucgstate.cpp:37-67)."""
+    from make_deck import write_bethe_deck
+
+    def run(sub, seed):
+        d = tmp_path / sub
+        deck = write_bethe_deck(str(d), n=96, nsteps=30, thermo_every=0)
+        text = open(deck).read().replace(
+            "fix 3 all ucgstate", f"fix 3 all ucgstate mc {seed} 0.9")
+        r = ScriptRunner(workdir=str(d), dtype=jnp.float64,
+                         log_callback=lambda m: None)
+        r.run_string(text)
+        return np.asarray(r.state.ucgstate)
+
+    s_a = run("a", 12345)
+    s_b = run("b", 54321)
+    s_a2 = run("c", 12345)
+    np.testing.assert_array_equal(s_a, s_a2)   # same seed = same stream
+    assert np.any(s_a != s_b)                  # different seed = different
+
+
+def test_rerun_every_is_timestep_multiple(tmp_path):
+    """LAMMPS 'rerun ... every N' processes snapshots whose TIMESTEP is a
+    multiple of N (read_dump.cpp), not every Nth snapshot."""
+    deck = write_ucgld_deck(str(tmp_path), n=64, nsteps=30, dt=0.002,
+                            tablength=800)
+    text = open(deck).read().replace(
+        "thermo 100",
+        "dump d1 all custom 10 traj.lammpstrj id type x y z ucgl\nthermo 100")
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(text)   # snapshots at steps 0, 10, 20, 30
+
+    rerun_deck = """units lj
+atom_style ucg
+read_data system.data
+pair_style table_ucgld linear 800 ucg.settings
+pair_coeff 1 1 2 2 ucg.table UCG_00 2.5 ucg.table UCG_01 2.5 ucg.table UCG_10 2.5 ucg.table UCG_11 2.5
+timestep 0.002
+fix 2 all ucgld/langevin 0.8 0.8 0.5 99
+fix 3 all ucgstate
+dump d2 all custom 1 rerun_out.lammpstrj id ucgl
+rerun traj.lammpstrj every 20 dump x y z ucgl
+"""
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r2.run_string(rerun_deck)
+    out = dmp.read_dump(str(tmp_path / "rerun_out.lammpstrj"))
+    assert [s.step for s in out] == [0, 20]
