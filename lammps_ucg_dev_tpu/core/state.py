@@ -95,7 +95,7 @@ class Box:
         )
 
 
-@pytree_dataclass()
+@pytree_dataclass(meta_fields=("n_total",))
 class SimState:
     """Dynamic per-atom state + global counters. Shapes are fixed under jit."""
 
@@ -114,10 +114,19 @@ class SimState:
     ucgp: jax.Array          # (N,)
     key: jax.Array           # PRNG key
     box: Box
+    n_total: int = 0         # global atom count when the arrays are a local
+                             # view (spatial decomposition); 0 = arrays are
+                             # global.  Tag-keyed RNG draws size their stream
+                             # by this so noise is sharding-invariant.
 
     @property
     def n_atoms(self) -> int:
         return self.x.shape[0]
+
+    @property
+    def rng_n(self) -> int:
+        """Length of tag-keyed per-atom random streams (= global atom count)."""
+        return self.n_total or self.x.shape[0]
 
     def permute(self, order: jax.Array) -> "SimState":
         """Reorder atoms (e.g. by cell for memory locality). ``tag``

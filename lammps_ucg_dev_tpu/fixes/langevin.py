@@ -56,10 +56,11 @@ def post_force(key: jax.Array, state: SimState, tT, dt: float,
         * jnp.sqrt(24.0 * u.boltz / cfg.t_period / dt / u.mvv2e)
         * jnp.sqrt(tT)
     )
-    # draw by atom TAG so the stochastic stream is invariant under storage
-    # reordering (sort_atoms) and sharding — stronger than the reference's
-    # rank-dependent RanMars streams
-    un_by_tag = jax.random.uniform(key, state.ucgvl.shape,
+    # draw by atom TAG over the GLOBAL tag space so the stochastic stream is
+    # invariant under storage reordering (sort_atoms) and sharding (including
+    # spatial decomposition, where this array is a local view) — stronger
+    # than the reference's rank-dependent RanMars streams
+    un_by_tag = jax.random.uniform(key, (state.rng_n,),
                                    dtype=state.ucgvl.dtype)
     un = jnp.take(un_by_tag, state.tag - 1)
     return gamma1 * state.ucgvl + gamma2 * (un - 0.5)

@@ -48,7 +48,8 @@ def post_force(key: jax.Array, state: SimState, scores: jax.Array,
                          (1.0 - ucgp) / ucgp)
         mc_factor = jnp.minimum(odds, 1.0) * cfg.mc_rate
         key = jax.random.fold_in(key, cfg.seed)
-        rand = jnp.take(jax.random.uniform(key, ucgp.shape, dtype=ucgp.dtype),
+        rand = jnp.take(jax.random.uniform(key, (state.rng_n,),
+                                           dtype=ucgp.dtype),
                         state.tag - 1)
         accept = rand < mc_factor
         if cfg.compat_reference_mc:

@@ -97,7 +97,8 @@ def _priors(state: SimState, params: BetheParams):
         p1_flag = params.prior_ptype[typ, 1]
     elif params.prior_mode == "chemical_potential_noise":
         key = jax.random.fold_in(state.key, 0x5EED)
-        u = jnp.take(jax.random.uniform(key, typ.shape, dtype=state.ucgl.dtype),
+        u = jnp.take(jax.random.uniform(key, (state.rng_n,),
+                                        dtype=state.ucgl.dtype),
                      state.tag - 1)
         noise = (u - 0.5) * 2.0 * params.noise_level
         p0 = jnp.clip(params.prior_ptype[typ, 0] + noise, 0.0, 0.999999)

@@ -128,13 +128,21 @@ def _compact_topk(cand: jax.Array, mask: jax.Array, k: int, n: int):
     return jnp.where(got, out, n), count
 
 
-def build_nsq(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
-    """All-pairs builder (correctness oracle, small N)."""
+def build_nsq(x: jax.Array, box: Box, spec: NeighborSpec,
+              valid: jax.Array | None = None,
+              i_valid: jax.Array | None = None) -> NeighborList:
+    """All-pairs builder (correctness oracle, small N).  ``valid`` masks out
+    padding rows (spatial decomposition local views) on the j side;
+    ``i_valid`` rows=False get EMPTY lists (ghost rows own no tallies)."""
     n = x.shape[0]
     dr = box.min_image(x[:, None, :] - x[None, :, :])
     rsq = jnp.sum(dr * dr, axis=-1)
     rc2 = jnp.asarray(spec.rc**2, x.dtype)
     mask = (rsq < rc2) & ~jnp.eye(n, dtype=bool)
+    if valid is not None:
+        mask = mask & valid[None, :]
+    if i_valid is not None:
+        mask = mask & i_valid[:, None]
     cand = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
     idx, count = _compact_topk(cand, mask, spec.capacity, n)
     mx = jnp.max(count).astype(jnp.int32)
@@ -156,8 +164,13 @@ def _cell_index(x: jax.Array, box: Box, cps: np.ndarray):
     return (c3[:, 0] * cps[1] + c3[:, 1]) * cps[2] + c3[:, 2], c3
 
 
-def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
-    """Binned builder with 27-cell stencil, chunked candidate evaluation."""
+def build_cell(x: jax.Array, box: Box, spec: NeighborSpec,
+               valid: jax.Array | None = None,
+               i_valid: jax.Array | None = None) -> NeighborList:
+    """Binned builder with 27-cell stencil, chunked candidate evaluation.
+    ``valid`` rows=False are parked in a shadow cell no stencil reaches, so
+    they never appear as candidates; ``i_valid`` rows=False get EMPTY lists
+    (ghost rows own no force/energy tallies)."""
     n = x.shape[0]
     cps = np.asarray(spec.cells_per_side, dtype=np.int64)
     ncells = int(np.prod(cps))
@@ -165,23 +178,32 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
     K = spec.capacity
 
     cid, c3 = _cell_index(x, box, cps)
+    if valid is not None:
+        cid = jnp.where(valid, cid, ncells)
 
-    # scatter atoms into (ncells, C) via sort + rank-within-cell
+    # scatter atoms into (ncells[+1 shadow], C) via sort + rank-within-cell
     order = jnp.argsort(cid, stable=True).astype(jnp.int32)
     sorted_cid = cid[order]
     first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    cell_overflow = jnp.max(rank) >= C
+    real = (sorted_cid < ncells) if valid is not None else True
+    cell_overflow = jnp.max(jnp.where(real, rank, 0)) >= C
+    nbins = ncells + (1 if valid is not None else 0)
     # flat 1-D scatter with sorted unique indices: a 2-axis scatter here
     # lowers to an (N, ncells)-sized one-hot on TPU (measured 4 GB at 128k
     # atoms, HBM OOM at 256k); slot ids are strictly increasing in sorted
     # order, so this is the cheap path.  (On overflow the clipped ranks
     # collide — results are discarded via the overflow flag anyway.)
-    slot = sorted_cid * C + jnp.clip(rank, 0, C - 1)
-    cell_atoms = jnp.full((ncells * C,), n, dtype=jnp.int32)
+    slot = jnp.minimum(sorted_cid * C + jnp.clip(rank, 0, C - 1),
+                       nbins * C - 1)
+    cell_atoms = jnp.full((nbins * C,), n, dtype=jnp.int32)
     cell_atoms = cell_atoms.at[slot].set(
         order, indices_are_sorted=True, unique_indices=True)
-    cell_atoms = cell_atoms.reshape(ncells, C)
+    if valid is not None:
+        # shadow-cell rows are not candidates anywhere; blank the bin so a
+        # (clipped) overflow of parked rows can't leak atom ids
+        cell_atoms = cell_atoms.at[ncells * C:].set(n)
+    cell_atoms = cell_atoms.reshape(nbins, C)
 
     # static 27-neighbor stencil
     offs = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
@@ -195,7 +217,7 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
         (cell_atoms < n).reshape(-1, 1),
         jnp.take(x, jnp.clip(cell_atoms.reshape(-1), 0, n - 1), axis=0),
         jnp.inf,
-    ).reshape(ncells, C, 3)
+    ).reshape(nbins, C, 3)
 
     # pad atoms to a multiple of chunk; sentinel rows point at cell 0 but are
     # discarded afterwards
@@ -205,11 +227,13 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
     c3_p = jnp.pad(c3, ((0, pad), (0, 0)))
     x_p = jnp.pad(x, ((0, pad), (0, 0)))
     self_p = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad), constant_values=n)
+    ival_p = (jnp.pad(i_valid, (0, pad)) if i_valid is not None
+              else jnp.ones((n_pad,), bool))
 
     cps_a = jnp.asarray(cps, jnp.int32)
 
     def per_chunk(args):
-        c3_c, x_c, self_c = args   # (chunk,3), (chunk,3), (chunk,)
+        c3_c, x_c, self_c, iv_c = args   # (chunk,3), (chunk,3), (chunk,)x2
         # (chunk, 27, 3) neighbor cell coords with periodic wrap
         nc3 = (c3_c[:, None, :] + jnp.asarray(offs, jnp.int32)[None, :, :]) % cps_a
         ncid = (nc3[..., 0] * cps[1] + nc3[..., 1]) * cps[2] + nc3[..., 2]
@@ -218,13 +242,14 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
         dr = box.min_image(x_c[:, None, :] - xj)
         rsq = jnp.sum(dr * dr, axis=-1)
         # padded slots carry +inf positions -> rsq = inf -> masked
-        mask = (cand != n) & (cand != self_c[:, None]) & (rsq < rc2)
+        mask = ((cand != n) & (cand != self_c[:, None]) & (rsq < rc2)
+                & iv_c[:, None])
         return _compact_topk(cand, mask, K, n)
 
     idx_c, count_c = jax.lax.map(
         per_chunk,
         (c3_p.reshape(-1, chunk, 3), x_p.reshape(-1, chunk, 3),
-         self_p.reshape(-1, chunk)),
+         self_p.reshape(-1, chunk), ival_p.reshape(-1, chunk)),
     )
     idx = idx_c.reshape(n_pad, K)[:n]
     count = count_c.reshape(n_pad)[:n]
@@ -238,11 +263,13 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
     )
 
 
-def build(x: jax.Array, box: Box, spec: NeighborSpec) -> NeighborList:
+def build(x: jax.Array, box: Box, spec: NeighborSpec,
+          valid: jax.Array | None = None,
+          i_valid: jax.Array | None = None) -> NeighborList:
     if spec.method == "nsq":
-        return build_nsq(x, box, spec)
+        return build_nsq(x, box, spec, valid, i_valid)
     if spec.method == "cell":
-        return build_cell(x, box, spec)
+        return build_cell(x, box, spec, valid, i_valid)
     raise ValueError(f"unknown neighbor method {spec.method!r}")
 
 

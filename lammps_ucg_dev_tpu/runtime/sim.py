@@ -119,10 +119,12 @@ class Simulation:
 
     # ---- one force evaluation + post-force fixes -------------------------
 
-    def _forces(self, state: SimState, nbr, run_window):
+    def _forces(self, state: SimState, nbr, run_window, pair_params=None):
         cfg = self.cfg
         u = cfg.u
-        fout = self.pair_compute(state, nbr, self.pair_params)
+        if pair_params is None:
+            pair_params = self.pair_params
+        fout = self.pair_compute(state, nbr, pair_params)
 
         key = state.key
         ucgforce = fout.ucgforce

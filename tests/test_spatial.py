@@ -1,0 +1,132 @@
+"""Spatial slab decomposition (shard_map + ppermute halos) correctness:
+sharded trajectory == unsharded trajectory at sizes spanning slab boundaries
+(SURVEY.md §4.3, §2.3 — the reference's domain-decomposition + ghost-comm
+model, here validated by exact equality rather than MPI golden runs)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import helpers
+from lammps_ucg_dev_tpu.core.state import Box, SimState, System
+from lammps_ucg_dev_tpu.fixes import integrate as fi
+from lammps_ucg_dev_tpu.fixes import langevin as fl
+from lammps_ucg_dev_tpu.fixes import ucgstate as fs
+from lammps_ucg_dev_tpu.models import pair_bethe, pair_ucgld
+from lammps_ucg_dev_tpu.ops import neighbor as nb
+from lammps_ucg_dev_tpu.parallel import spatial
+from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
+
+N_BIG = 32768
+RHO = 0.6
+
+
+def _uniform_fluid(rng, n, L):
+    # uniform positions (not a lattice): a lattice can alias with the slab
+    # grid so that no atom sits near a face and migration never triggers.
+    # Overlapping pairs are fine — the cosine-soft test table is finite at
+    # r -> 0, and the equality assertion doesn't need physical realism.
+    return rng.uniform(0, L, (n, 3))
+
+
+def _mk(n=N_BIG, style="ucgld", seed=7):
+    rng = np.random.default_rng(seed)
+    L = (n / RHO) ** (1 / 3)
+    x = _uniform_fluid(rng, n, L)
+    st, bank, tp, rc = helpers.build_two_state()
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.9, (n, 3)), typ=np.ones(n, np.int32),
+        ucgl=rng.uniform(0.2, 0.8, n), ucgstate=rng.integers(0, 2, n),
+        ucgvl=rng.normal(0, 0.3, n), ucgml=np.full(n, 5.0),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    if style == "ucgld":
+        params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+        compute = pair_ucgld.compute
+        integ = fi.IntegratorCfg("nve/ucgld/wall/hard", bias_potential=True,
+                                 barrier=0.1)
+        ucfg = fs.UCGStateCfg(mode="ld")
+    elif style == "bethe":
+        params = pair_bethe.make_params(bank, tp, 0.8, dtype=jnp.float64)
+        compute = pair_bethe.compute
+        integ = fi.IntegratorCfg("none")
+        ucfg = fs.UCGStateCfg(mode="default")
+    else:
+        raise AssertionError(style)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    cfg = SimConfig(dt=0.004, units="lj", integrator=integ,
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=ucfg, reneigh_every=5)
+    return system, state, compute, params, rc, cfg, L
+
+
+def _run_both(style, nblocks=2, n=N_BIG):
+    system, state, compute, params, rc, cfg, L = _mk(n=n, style=style)
+    nsteps = nblocks * cfg.reneigh_every
+    window = (0, nsteps)
+
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell")
+    sim1 = Simulation(system, state, compute, params, spec, cfg)
+    sim1.setup(window)
+    sim1.run_fused(nblocks, run_window=window)
+
+    slab = spatial.make_slab_spec(n, [L] * 3, rc, 0.4, 8,
+                                  x=np.asarray(state.x))
+    sim2 = spatial.SpatialSimulation(system, state, compute, params, slab,
+                                     cfg)
+    sim2.setup(window)
+    sim2.run_fused(nblocks, run_window=window)
+    return sim1, sim2
+
+
+def _assert_equal(sim1, sim2, atol=1e-10):
+    st2, fout2 = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    for name in ("x", "v", "ucgl", "ucgvl", "ucgp", "ucgstate"):
+        a = np.asarray(getattr(sim1.state, name))[order]
+        b = np.asarray(getattr(st2, name))
+        np.testing.assert_allclose(b, a, atol=atol, err_msg=name)
+    np.testing.assert_allclose(float(fout2.pe), float(sim1._fcarry.pe),
+                               rtol=1e-10)
+
+
+def test_spatial_ucgld_matches_unsharded_32k():
+    """Full flagship stack (wall/hard+bias, λ-Langevin, ucgstate ld) on 8
+    slabs at 32k beads: trajectories must match the single-device run, and
+    atoms must actually migrate between slabs."""
+    sim1, sim2 = _run_both("ucgld")
+    _assert_equal(sim1, sim2)
+    assert sim2._migrations > 0, "no atom crossed a slab boundary"
+    assert int(np.asarray(sim2._nloc).sum()) == N_BIG
+
+
+def test_spatial_bethe_matches_unsharded_32k():
+    """Self-consistent Bethe style (priors from ucgl/ucgp halos) sharded ==
+    unsharded: exercises the state/posterior halo refresh every step."""
+    sim1, sim2 = _run_both("bethe")
+    _assert_equal(sim1, sim2)
+
+
+def test_spatial_halo_overflow_raises():
+    system, state, compute, params, rc, cfg, L = _mk(n=16384, style="ucgld")
+    # a 16k fluid still has >8 atoms per halo layer: force the flag
+    with pytest.raises(RuntimeError, match="spatial capacity"):
+        slab = spatial.make_slab_spec(16384, [L] * 3, rc, 0.4, 8,
+                                      x=np.asarray(state.x), cap_halo=8)
+        sim = spatial.SpatialSimulation(system, state, compute, params,
+                                        slab, cfg)
+        sim.setup((0, 5))
+
+
+def test_spatial_requires_wide_slabs():
+    with pytest.raises(ValueError, match="slab width"):
+        spatial.make_slab_spec(512, [8.0, 8.0, 8.0], 2.5, 0.4, 8)
+
+
+def test_spatial_thermo_matches():
+    sim1, sim2 = _run_both("ucgld", nblocks=1, n=16384)
+    t1, t2 = sim1.thermo(), sim2.thermo()
+    for k in ("temp", "pe", "ke", "ke_lambda", "lambda_temp", "etotal"):
+        np.testing.assert_allclose(t2[k], t1[k], rtol=1e-9, err_msg=k)
