@@ -264,3 +264,84 @@ def write_rleucg_deck(outdir: str, n: int = 512, rho: float = 0.5,
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     return path
+
+
+def write_molecular_switch_deck(outdir: str, nmol: int = 64, rho: float = 0.1,
+                                rc: float = 2.5, nsteps: int = 100,
+                                dt: float = 0.002, T: float = 0.8,
+                                switch_freq: int = 20, thermo_every: int = 50,
+                                seed: int = 23, tablength: int = 1200,
+                                bond_r0: float = 0.9, bond_k: float = 50.0,
+                                angle_k: float = 10.0) -> str:
+    """Molecular deck: 3-atom bonded molecules (A-B-C chain, 2 harmonic
+    bonds + 1 harmonic angle) under ``fix cluster_switch`` — exercises the
+    reference's molecule-level machinery (whole-molecule type flips,
+    contact-gated clustering, fix_cluster_switch.cpp:799-823) together with
+    the bonded force styles the molecular atom style implies
+    (atom_vec_ucg.cpp:33-96).  Both atom types are single-state, so the UCG
+    pair style reduces to plain tabulated CG pairs; type 1 = OFF, 2 = ON."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = 3 * nmol
+    L = (n / rho) ** (1 / 3)
+    centers = lattice_positions(nmol, L, jitter=0.1, seed=seed)
+    # linear trimer along a random direction, |bond| = bond_r0
+    dirs = rng.normal(size=(nmol, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    x = np.concatenate([centers - bond_r0 * dirs, centers,
+                        centers + bond_r0 * dirs], axis=1).reshape(-1, 3) % L
+    typ = np.where(rng.uniform(size=nmol) < 0.5, 1, 2)
+
+    write_table_file(os.path.join(outdir, "mol.table"), {
+        "T11": soft_table(1.0, rc), "T12": soft_table(0.6, rc),
+        "T22": soft_table(0.3, rc),
+    })
+    with open(os.path.join(outdir, "mol.settings"), "w") as fh:
+        # 2 actual types, 2 formal types, 1 state each (plain CG)
+        fh.write("2 2 1\n1 1\n2 1\n0.0\n0.0\n")
+    with open(os.path.join(outdir, "rates.txt"), "w") as fh:
+        fh.write("0.5\n1\n2\n1\n")   # probON; 1 switch type; ON=2; OFF=1
+    with open(os.path.join(outdir, "contacts.txt"), "w") as fh:
+        fh.write("n 1\nm 1\n2 2\n")
+
+    with open(os.path.join(outdir, "system.data"), "w") as fh:
+        fh.write("bonded trimers + cluster switching\n\n")
+        fh.write(f"{n} atoms\n{2 * nmol} bonds\n{nmol} angles\n"
+                 "2 atom types\n1 bond types\n1 angle types\n\n")
+        fh.write(f"0 {L:.10g} xlo xhi\n0 {L:.10g} ylo yhi\n0 {L:.10g} zlo zhi\n\n")
+        fh.write("Masses\n\n1 1.0\n2 1.0\n\nAtoms # ucg\n\n")
+        for k in range(n):
+            mol = k // 3 + 1
+            fh.write(f"{k + 1} {mol} {typ[k // 3]} 0.0 {x[k, 0]:.10g} "
+                     f"{x[k, 1]:.10g} {x[k, 2]:.10g} 0 0.5 5.0\n")
+        fh.write("\nBonds\n\n")
+        b = 1
+        for m in range(nmol):
+            a1 = 3 * m + 1
+            fh.write(f"{b} 1 {a1} {a1 + 1}\n"); b += 1
+            fh.write(f"{b} 1 {a1 + 1} {a1 + 2}\n"); b += 1
+        fh.write("\nAngles\n\n")
+        for m in range(nmol):
+            a1 = 3 * m + 1
+            fh.write(f"{m + 1} 1 {a1} {a1 + 1} {a1 + 2}\n")
+
+    lines = [
+        "units lj", "atom_style ucg", "read_data system.data",
+        f"pair_style table_ucgld linear {tablength} mol.settings",
+        f"pair_coeff 1 1 1 1 mol.table T11 {rc}",
+        f"pair_coeff 1 2 1 1 mol.table T12 {rc}",
+        f"pair_coeff 2 2 1 1 mol.table T22 {rc}",
+        "bond_style harmonic", f"bond_coeff 1 {bond_k} {bond_r0}",
+        "angle_style harmonic", f"angle_coeff 1 {angle_k} 180.0",
+        "special_bonds lj 0 0 0",
+        "neighbor 0.4 bin", "neigh_modify every 5",
+        f"timestep {dt}", f"velocity all create {T} {seed + 1}",
+        "fix 1 all nve/ucgld",
+        f"fix 4 all cluster_switch 1 0 1.3 {seed + 3} rateFreq {switch_freq} "
+        "rateFile rates.txt contactFile contacts.txt",
+        f"thermo {thermo_every}", f"run {nsteps}",
+    ]
+    path = os.path.join(outdir, "in.molecular_switch")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path

@@ -102,6 +102,11 @@ class ScriptRunner:
         self.reneigh_every = 10
         self.neighbor_method: str | None = None
         self.pair: _PendingPair | None = None
+        self.bond_style: str | None = None
+        self.bond_coeffs: dict = {}
+        self.angle_style: str | None = None
+        self.angle_coeffs: dict = {}
+        self.special_weights = (0.0, 0.0, 0.0)   # LAMMPS default: exclude
         self.integrator = fi.IntegratorCfg(kind="none")
         self.langevin: fl.LangevinCfg | None = None
         self.ucgstate_cfg: fs.UCGStateCfg | None = None
@@ -255,6 +260,34 @@ class ScriptRunner:
                 i += 2
             else:
                 i += 1
+
+    def _cmd_bond_style(self, a):
+        if a[0] not in ("harmonic", "none", "zero"):
+            raise ValueError(f"unsupported bond_style {a[0]!r}")
+        self.bond_style = None if a[0] in ("none", "zero") else a[0]
+
+    def _cmd_bond_coeff(self, a):
+        # bond_coeff TYPE K r0  (bond_style harmonic)
+        self.bond_coeffs[int(a[0])] = (float(a[1]), float(a[2]))
+
+    def _cmd_angle_style(self, a):
+        if a[0] not in ("harmonic", "none", "zero"):
+            raise ValueError(f"unsupported angle_style {a[0]!r}")
+        self.angle_style = None if a[0] in ("none", "zero") else a[0]
+
+    def _cmd_angle_coeff(self, a):
+        # angle_coeff TYPE K theta0(degrees)
+        self.angle_coeffs[int(a[0])] = (float(a[1]), float(a[2]))
+
+    def _cmd_special_bonds(self, a):
+        # special_bonds lj w12 w13 w14 | lj/coul w12 w13 w14 (0/1 only)
+        if a and a[0] in ("lj", "lj/coul", "coul"):
+            w = tuple(float(t) for t in a[1:4])
+        elif a and a[0] == "amber":
+            raise NotImplementedError("special_bonds amber unsupported")
+        else:
+            w = tuple(float(t) for t in a[:3])
+        self.special_weights = w
 
     def _cmd_velocity(self, a):
         # velocity all create T seed [dist gaussian]
@@ -522,9 +555,29 @@ class ScriptRunner:
             reneigh_every=self.reneigh_every)
         system = System(n_atoms=n, ntypes=self.system.ntypes,
                         masses=self._masses(), units=self.units)
+        bparams, excl = self._build_bonded(n)
         self.sim = Simulation(system, self.state, pair_compute, pair_params,
                               spec, cfg, cluster_switch=self.cswitch,
-                              log_dir=self.workdir if self.cswitch else None)
+                              log_dir=self.workdir if self.cswitch else None,
+                              bonded=bparams, excl_tags=excl)
+
+    def _build_bonded(self, n):
+        """BondedParams + special exclusion tags from the data-file topology
+        and the declared bond/angle styles (models/bonded.py)."""
+        df = self.datafile
+        bonds = df.bonds if (df is not None and self.bond_style) else None
+        angles = df.angles if (df is not None and self.angle_style) else None
+        if bonds is None and angles is None:
+            return None, None
+        from lammps_ucg_dev_tpu.models import bonded as bd
+
+        params = bd.make_params(bonds, self.bond_coeffs, angles,
+                                self.angle_coeffs, dtype=self.dtype)
+        excl = bd.special_tags(
+            n, bonds=bonds, angles=angles,
+            dihedrals=df.dihedrals if df is not None else None,
+            weights=self.special_weights)
+        return params, excl
 
     def _cmd_run(self, a):
         nsteps = int(a[0])

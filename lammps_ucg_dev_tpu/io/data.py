@@ -184,13 +184,12 @@ def read_data(path: str, atom_style: str = "ucg") -> DataFile:
                 has_vl = ncols >= 5
                 df.ucgvl[k[has_vl]] = rows[has_vl, 4]
         elif name in ("Bonds", "Angles", "Dihedrals", "Impropers"):
-            nrows = counts.get(name.lower(), counts.get(name.lower()[:-1] + "s", 0))
-            nrows = counts.get({"Bonds": "bonds", "Angles": "angles",
-                                "Dihedrals": "dihedrals",
-                                "Impropers": "impropers"}[name], 0)
-            rows, i = read_section(i + 1, nrows)
-            arr = np.asarray([[int(v) for v in r] for r in rows], np.int64) \
-                if rows else np.zeros((0, 4), np.int64)
+            width = {"Bonds": 4, "Angles": 5, "Dihedrals": 6,
+                     "Impropers": 6}[name]
+            nrows = counts.get(name.lower(), 0)
+            rows, ncols, i = read_section(i + 1, nrows, width)
+            arr = (np.round(rows[:, :width]).astype(np.int64)
+                   if nrows else np.zeros((0, width), np.int64))
             setattr(df, name.lower(), arr)
         else:
             # unknown/coeff section: skip until next blank-line-delimited block

@@ -1,0 +1,227 @@
+"""Bonded interactions: harmonic bonds and angles on fixed-shape topology.
+
+``atom_style ucg`` is molecular — the reference's atom style carries bonds,
+angles, dihedrals and impropers through every comm/exchange/data path
+(/root/reference/UCG/atom_vec_ucg.cpp:33-96), and the implied stock-LAMMPS
+runtime (SURVEY.md L0) computes their forces.  This module provides the
+TPU-native equivalents of the stock styles the package's molecular decks
+need:
+
+* ``bond_style harmonic``:  E = K (r - r0)^2,   F = -2 K (r - r0) r̂
+* ``angle_style harmonic``: E = K (θ - θ0)^2   (θ0 input in degrees)
+
+Formulation: topology is stored as atom TAGS (stable under storage
+reordering/sort_atoms); a tag→row map is rebuilt under jit each evaluation.
+Per-term forces are scatter-added to their 2-3 member rows — topology is
+O(N) with small constants, so unlike the pair loop this scatter is cheap.
+Energies and virials are tallied once per term (the newton-on bookkeeping of
+stock ``ev_tally``).
+
+Exclusions: LAMMPS removes special 1-2/1-3/1-4 pairs (weight 0.0, the
+default) from pair-style neighbor lists.  :func:`special_tags` builds the
+fixed-capacity per-atom exclusion tag lists from the topology;
+ops/neighbor.py applies them at list build.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_ucg_dev_tpu.core.state import SimState, pytree_dataclass
+
+
+@pytree_dataclass()
+class BondedParams:
+    """Fixed-shape topology with per-term coefficients (pre-gathered by type
+    so evaluation has no type indirection).  Zero-length arrays are valid."""
+
+    bond_tags: jax.Array     # (B, 2) int32, 1-based atom tags
+    bond_k: jax.Array        # (B,)
+    bond_r0: jax.Array       # (B,)
+    angle_tags: jax.Array    # (A, 3) int32 tags; center atom is column 1
+    angle_k: jax.Array       # (A,)
+    angle_t0: jax.Array      # (A,) radians
+
+    @property
+    def n_bonds(self) -> int:
+        return self.bond_tags.shape[0]
+
+    @property
+    def n_angles(self) -> int:
+        return self.angle_tags.shape[0]
+
+
+def make_params(bonds=None, bond_coeffs=None, angles=None, angle_coeffs=None,
+                dtype=jnp.float32) -> BondedParams:
+    """From data-file topology rows (io/data.py: ``(nb, 4) = id type a1 a2``
+    bonds, ``(na, 5) = id type a1 a2 a3`` angles) and per-type coefficient
+    dicts ``{type: (K, r0)}`` / ``{type: (K, theta0_degrees)}``."""
+    if bonds is None or len(bonds) == 0:
+        bt = np.zeros((0, 2), np.int32)
+        bk = br = np.zeros((0,))
+    else:
+        bonds = np.asarray(bonds, np.int64)
+        bt = bonds[:, 2:4].astype(np.int32)
+        missing = set(bonds[:, 1]) - set(bond_coeffs or {})
+        if missing:
+            raise ValueError(f"no bond_coeff for bond types {sorted(missing)}")
+        bk = np.asarray([bond_coeffs[t][0] for t in bonds[:, 1]])
+        br = np.asarray([bond_coeffs[t][1] for t in bonds[:, 1]])
+    if angles is None or len(angles) == 0:
+        at = np.zeros((0, 3), np.int32)
+        ak = a0 = np.zeros((0,))
+    else:
+        angles = np.asarray(angles, np.int64)
+        at = angles[:, 2:5].astype(np.int32)
+        missing = set(angles[:, 1]) - set(angle_coeffs or {})
+        if missing:
+            raise ValueError(f"no angle_coeff for angle types {sorted(missing)}")
+        ak = np.asarray([angle_coeffs[t][0] for t in angles[:, 1]])
+        a0 = np.deg2rad([angle_coeffs[t][1] for t in angles[:, 1]])
+    return BondedParams(
+        bond_tags=jnp.asarray(bt), bond_k=jnp.asarray(bk, dtype),
+        bond_r0=jnp.asarray(br, dtype), angle_tags=jnp.asarray(at),
+        angle_k=jnp.asarray(ak, dtype), angle_t0=jnp.asarray(a0, dtype))
+
+
+def _tag_rows(state: SimState):
+    """tag → storage-row map (identity when atoms are unsorted)."""
+    n = state.n_atoms
+    return jnp.zeros((state.rng_n,), jnp.int32).at[state.tag - 1].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
+def compute(state: SimState, params: BondedParams):
+    """(f, pe, virial) of all bonded terms; shapes match the pair ForceOut
+    fields so the driver adds them in."""
+    x, box = state.x, state.box
+    n = x.shape[0]
+    dt_ = x.dtype
+    f = jnp.zeros((n, 3), dt_)
+    pe = jnp.zeros((), dt_)
+    vir = jnp.zeros((6,), dt_)
+    inv = _tag_rows(state)
+
+    if params.n_bonds:
+        i = inv[params.bond_tags[:, 0] - 1]
+        j = inv[params.bond_tags[:, 1] - 1]
+        d = box.min_image(x[i] - x[j])
+        r = jnp.sqrt(jnp.sum(d * d, axis=1))
+        dr = r - params.bond_r0
+        # bond_harmonic.cpp: fbond = -2 K dr / r; f[i] += fbond*d
+        fbond = jnp.where(r > 0, -2.0 * params.bond_k * dr / r, 0.0)
+        fb = fbond[:, None] * d
+        f = f.at[i].add(fb).at[j].add(-fb)
+        pe = pe + jnp.sum(params.bond_k * dr * dr)
+        vir = vir + _vtally(fbond, d)
+
+    if params.n_angles:
+        i1 = inv[params.angle_tags[:, 0] - 1]
+        i2 = inv[params.angle_tags[:, 1] - 1]
+        i3 = inv[params.angle_tags[:, 2] - 1]
+        d1 = box.min_image(x[i1] - x[i2])
+        d2 = box.min_image(x[i3] - x[i2])
+        r1 = jnp.sqrt(jnp.sum(d1 * d1, axis=1))
+        r2 = jnp.sqrt(jnp.sum(d2 * d2, axis=1))
+        c = jnp.sum(d1 * d2, axis=1) / (r1 * r2)
+        c = jnp.clip(c, -1.0, 1.0)
+        s = jnp.maximum(jnp.sqrt(1.0 - c * c), 1e-8)   # angle_harmonic SMALL
+        dtheta = jnp.arccos(c) - params.angle_t0
+        a = -2.0 * params.angle_k * dtheta / s
+        a11 = a * c / (r1 * r1)
+        a12 = -a / (r1 * r2)
+        a22 = a * c / (r2 * r2)
+        f1 = a11[:, None] * d1 + a12[:, None] * d2
+        f3 = a22[:, None] * d2 + a12[:, None] * d1
+        f = f.at[i1].add(f1).at[i3].add(f3).at[i2].add(-(f1 + f3))
+        pe = pe + jnp.sum(params.angle_k * dtheta * dtheta)
+        vir = vir + jnp.stack([
+            jnp.sum(d1[:, 0] * f1[:, 0] + d2[:, 0] * f3[:, 0]),
+            jnp.sum(d1[:, 1] * f1[:, 1] + d2[:, 1] * f3[:, 1]),
+            jnp.sum(d1[:, 2] * f1[:, 2] + d2[:, 2] * f3[:, 2]),
+            jnp.sum(d1[:, 0] * f1[:, 1] + d2[:, 0] * f3[:, 1]),
+            jnp.sum(d1[:, 0] * f1[:, 2] + d2[:, 0] * f3[:, 2]),
+            jnp.sum(d1[:, 1] * f1[:, 2] + d2[:, 1] * f3[:, 2]),
+        ]).astype(dt_)
+
+    return f, pe, vir
+
+
+def _vtally(fpair, d):
+    return jnp.stack([
+        jnp.sum(fpair * d[:, 0] * d[:, 0]),
+        jnp.sum(fpair * d[:, 1] * d[:, 1]),
+        jnp.sum(fpair * d[:, 2] * d[:, 2]),
+        jnp.sum(fpair * d[:, 0] * d[:, 1]),
+        jnp.sum(fpair * d[:, 0] * d[:, 2]),
+        jnp.sum(fpair * d[:, 1] * d[:, 2]),
+    ])
+
+
+def potential_energy(x: jax.Array, state: SimState,
+                     params: BondedParams) -> jax.Array:
+    """E(x) for autodiff force checks (f = -∂E/∂x)."""
+    st = state
+    box = st.box
+    inv = _tag_rows(st)
+    e = jnp.zeros((), x.dtype)
+    if params.n_bonds:
+        i = inv[params.bond_tags[:, 0] - 1]
+        j = inv[params.bond_tags[:, 1] - 1]
+        d = box.min_image(x[i] - x[j])
+        r = jnp.sqrt(jnp.sum(d * d, axis=1))
+        e = e + jnp.sum(params.bond_k * (r - params.bond_r0) ** 2)
+    if params.n_angles:
+        i1 = inv[params.angle_tags[:, 0] - 1]
+        i2 = inv[params.angle_tags[:, 1] - 1]
+        i3 = inv[params.angle_tags[:, 2] - 1]
+        d1 = box.min_image(x[i1] - x[i2])
+        d2 = box.min_image(x[i3] - x[i2])
+        c = (jnp.sum(d1 * d2, axis=1)
+             / jnp.sqrt(jnp.sum(d1 * d1, 1) * jnp.sum(d2 * d2, 1)))
+        dtheta = jnp.arccos(jnp.clip(c, -1.0, 1.0)) - params.angle_t0
+        e = e + jnp.sum(params.angle_k * dtheta * dtheta)
+    return e
+
+
+def special_tags(n_atoms: int, bonds=None, angles=None, dihedrals=None,
+                 weights=(0.0, 0.0, 0.0), cap: int | None = None) -> np.ndarray:
+    """Per-atom special-neighbor TAG lists for pair-list exclusion.
+
+    LAMMPS ``special_bonds`` semantics, weight-0 orders only (the default
+    ``lj 0 0 0``): 1-2 partners from bonds, 1-3 from angles, 1-4 from
+    dihedrals are removed from the pair list.  Fractional weights are not
+    supported (raise) — the reference decks never use them.  Returns an
+    (N, S) int32 array of tags, 0-padded; all-zero when nothing is excluded.
+    """
+    for w in weights:
+        if w not in (0.0, 1.0):
+            raise NotImplementedError(
+                f"fractional special_bonds weight {w} unsupported "
+                "(only 0 = exclude, 1 = full)")
+    per = [set() for _ in range(n_atoms + 1)]   # 1-based tags
+
+    def pair(a, b):
+        per[a].add(b)
+        per[b].add(a)
+
+    if weights[0] == 0.0 and bonds is not None:
+        for row in np.asarray(bonds, np.int64):
+            pair(int(row[2]), int(row[3]))
+    if weights[1] == 0.0 and angles is not None:
+        for row in np.asarray(angles, np.int64):
+            pair(int(row[2]), int(row[4]))      # 1-3 ends of the angle
+    if weights[2] == 0.0 and dihedrals is not None:
+        for row in np.asarray(dihedrals, np.int64):
+            pair(int(row[2]), int(row[5]))      # 1-4 ends
+    smax = max((len(s) for s in per), default=0)
+    S = cap if cap is not None else max(smax, 1)
+    if smax > S:
+        raise ValueError(f"special-neighbor capacity {S} < max degree {smax}")
+    out = np.zeros((n_atoms, S), np.int32)
+    for tag in range(1, n_atoms + 1):
+        lst = sorted(per[tag])
+        out[tag - 1, :len(lst)] = lst
+    return out

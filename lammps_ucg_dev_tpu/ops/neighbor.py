@@ -65,11 +65,15 @@ class NeighborSpec:
 
 def estimate_capacities(n_atoms: int, box_lengths, cutoff: float, skin: float,
                         safety: float = 1.6):
-    """Heuristic (K, cell_capacity) from mean density."""
+    """Heuristic (K, cell_capacity) from mean density; mean + 6σ + slack so
+    dilute uniform fluids (Poisson tails dominate the multiplicative margin)
+    stay within capacity too."""
     vol = float(np.prod(np.asarray(box_lengths, dtype=np.float64)))
     rho = n_atoms / vol
     rc = cutoff + skin
-    k = int(math.ceil(safety * rho * 4.0 / 3.0 * math.pi * rc**3)) + 4
+    mean_k = rho * 4.0 / 3.0 * math.pi * rc**3
+    k = int(math.ceil(max(safety * mean_k,
+                          mean_k + 6.0 * math.sqrt(max(mean_k, 1.0))))) + 8
     cc = int(math.ceil(safety * rho * rc**3)) + 4
     return k, cc
 
@@ -130,10 +134,13 @@ def _compact_topk(cand: jax.Array, mask: jax.Array, k: int, n: int):
 
 def build_nsq(x: jax.Array, box: Box, spec: NeighborSpec,
               valid: jax.Array | None = None,
-              i_valid: jax.Array | None = None) -> NeighborList:
+              i_valid: jax.Array | None = None,
+              excl: jax.Array | None = None) -> NeighborList:
     """All-pairs builder (correctness oracle, small N).  ``valid`` masks out
     padding rows (spatial decomposition local views) on the j side;
-    ``i_valid`` rows=False get EMPTY lists (ghost rows own no tallies)."""
+    ``i_valid`` rows=False get EMPTY lists (ghost rows own no tallies);
+    ``excl`` (N, S) row indices are special 1-2/1-3/1-4 partners removed
+    from each row's list (LAMMPS weight-0 special_bonds), sentinel n."""
     n = x.shape[0]
     dr = box.min_image(x[:, None, :] - x[None, :, :])
     rsq = jnp.sum(dr * dr, axis=-1)
@@ -143,6 +150,10 @@ def build_nsq(x: jax.Array, box: Box, spec: NeighborSpec,
         mask = mask & valid[None, :]
     if i_valid is not None:
         mask = mask & i_valid[:, None]
+    if excl is not None:
+        j = jnp.arange(n, dtype=jnp.int32)
+        mask = mask & ~jnp.any(
+            j[None, :, None] == excl[:, None, :], axis=-1)
     cand = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
     idx, count = _compact_topk(cand, mask, spec.capacity, n)
     mx = jnp.max(count).astype(jnp.int32)
@@ -166,11 +177,13 @@ def _cell_index(x: jax.Array, box: Box, cps: np.ndarray):
 
 def build_cell(x: jax.Array, box: Box, spec: NeighborSpec,
                valid: jax.Array | None = None,
-               i_valid: jax.Array | None = None) -> NeighborList:
+               i_valid: jax.Array | None = None,
+               excl: jax.Array | None = None) -> NeighborList:
     """Binned builder with 27-cell stencil, chunked candidate evaluation.
     ``valid`` rows=False are parked in a shadow cell no stencil reaches, so
     they never appear as candidates; ``i_valid`` rows=False get EMPTY lists
-    (ghost rows own no force/energy tallies)."""
+    (ghost rows own no force/energy tallies); ``excl`` (N, S) special rows
+    are removed per list (see build_nsq)."""
     n = x.shape[0]
     cps = np.asarray(spec.cells_per_side, dtype=np.int64)
     ncells = int(np.prod(cps))
@@ -229,11 +242,14 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec,
     self_p = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad), constant_values=n)
     ival_p = (jnp.pad(i_valid, (0, pad)) if i_valid is not None
               else jnp.ones((n_pad,), bool))
+    S = excl.shape[1] if excl is not None else 1
+    excl_p = (jnp.pad(excl, ((0, pad), (0, 0)), constant_values=n)
+              if excl is not None else jnp.full((n_pad, 1), n, jnp.int32))
 
     cps_a = jnp.asarray(cps, jnp.int32)
 
     def per_chunk(args):
-        c3_c, x_c, self_c, iv_c = args   # (chunk,3), (chunk,3), (chunk,)x2
+        c3_c, x_c, self_c, iv_c, ex_c = args
         # (chunk, 27, 3) neighbor cell coords with periodic wrap
         nc3 = (c3_c[:, None, :] + jnp.asarray(offs, jnp.int32)[None, :, :]) % cps_a
         ncid = (nc3[..., 0] * cps[1] + nc3[..., 1]) * cps[2] + nc3[..., 2]
@@ -244,12 +260,16 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec,
         # padded slots carry +inf positions -> rsq = inf -> masked
         mask = ((cand != n) & (cand != self_c[:, None]) & (rsq < rc2)
                 & iv_c[:, None])
+        if excl is not None:
+            mask = mask & ~jnp.any(
+                cand[:, :, None] == ex_c[:, None, :], axis=-1)
         return _compact_topk(cand, mask, K, n)
 
     idx_c, count_c = jax.lax.map(
         per_chunk,
         (c3_p.reshape(-1, chunk, 3), x_p.reshape(-1, chunk, 3),
-         self_p.reshape(-1, chunk), ival_p.reshape(-1, chunk)),
+         self_p.reshape(-1, chunk), ival_p.reshape(-1, chunk),
+         excl_p.reshape(-1, chunk, S)),
     )
     idx = idx_c.reshape(n_pad, K)[:n]
     count = count_c.reshape(n_pad)[:n]
@@ -265,11 +285,12 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec,
 
 def build(x: jax.Array, box: Box, spec: NeighborSpec,
           valid: jax.Array | None = None,
-          i_valid: jax.Array | None = None) -> NeighborList:
+          i_valid: jax.Array | None = None,
+          excl: jax.Array | None = None) -> NeighborList:
     if spec.method == "nsq":
-        return build_nsq(x, box, spec, valid, i_valid)
+        return build_nsq(x, box, spec, valid, i_valid, excl)
     if spec.method == "cell":
-        return build_cell(x, box, spec, valid, i_valid)
+        return build_cell(x, box, spec, valid, i_valid, excl)
     raise ValueError(f"unknown neighbor method {spec.method!r}")
 
 

@@ -81,6 +81,8 @@ class Simulation:
         extra_post_force: Callable | None = None,
         cluster_switch: "tuple | None" = None,   # (params, switch_freq)
         log_dir: str | None = None,
+        bonded: "Any | None" = None,             # models.bonded.BondedParams
+        excl_tags: "np.ndarray | None" = None,   # (N, S) special-tag lists
     ):
         self.system = system
         self.state = state
@@ -96,6 +98,16 @@ class Simulation:
         self.extra_post_force = extra_post_force
         self._masses_by_type = jnp.asarray(system.masses, dtype=state.x.dtype)
         self.cswitch = cluster_switch
+        self.bonded = bonded
+        if excl_tags is not None and not np.any(excl_tags):
+            excl_tags = None                     # nothing excluded
+        self.excl_tags = (jnp.asarray(excl_tags, jnp.int32)
+                          if excl_tags is not None else None)
+        if (self.bonded is not None or self.excl_tags is not None) \
+                and self._is_column:
+            raise NotImplementedError(
+                "bonded terms / special exclusions require the atom-"
+                "neighbor-list path (NeighborSpec), not the column kernel")
         self.cswitch_stats = (
             fcs.ClusterSwitchStats.zeros(state.x.dtype) if cluster_switch else None
         )
@@ -125,6 +137,13 @@ class Simulation:
         if pair_params is None:
             pair_params = self.pair_params
         fout = self.pair_compute(state, nbr, pair_params)
+        if self.bonded is not None:
+            from lammps_ucg_dev_tpu.models import bonded as bd
+
+            bf, bpe, bvir = bd.compute(state, self.bonded)
+            fout = dataclasses.replace(
+                fout, f=fout.f + bf, pe=fout.pe + bpe,
+                virial=fout.virial + bvir)
 
         key = state.key
         ucgforce = fout.ucgforce
@@ -194,8 +213,18 @@ class Simulation:
         return state, fout, nbr.overflow, nbr.max_occupancy, danger
 
     def _nbr_build(self, state: SimState):
-        return (colpack.build if self._is_column else nbrmod.build)(
-            state.x, state.box, self.nbr_spec)
+        if self._is_column:
+            return colpack.build(state.x, state.box, self.nbr_spec)
+        excl = None
+        if self.excl_tags is not None:
+            # special-tag lists → current storage rows (tags are stable under
+            # sort_atoms; 0 padding → the n sentinel no candidate matches)
+            n = state.n_atoms
+            inv = jnp.zeros((n,), jnp.int32).at[state.tag - 1].set(
+                jnp.arange(n, dtype=jnp.int32))
+            et = jnp.take(self.excl_tags, state.tag - 1, axis=0)
+            excl = jnp.where(et > 0, inv[jnp.clip(et - 1, 0, n - 1)], n)
+        return nbrmod.build(state.x, state.box, self.nbr_spec, excl=excl)
 
     # ---- cluster_switch event (PRE_EXCHANGE analogue) ---------------------
 

@@ -1,0 +1,197 @@
+"""Bonded force styles (harmonic bond/angle), special-bond exclusions, and
+the molecular cluster_switch deck (multi-atom molecules — the reference's
+molecule-majority regime, fix_cluster_switch.cpp:799-893)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import helpers
+from lammps_ucg_dev_tpu.core.state import Box, SimState, System
+from lammps_ucg_dev_tpu.fixes import integrate as fi
+from lammps_ucg_dev_tpu.models import bonded as bd
+from lammps_ucg_dev_tpu.models import pair_ucgld
+from lammps_ucg_dev_tpu.ops import neighbor as nb
+from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def _trimer_state(rng, nmol=8, L=12.0, r0=0.9, theta=120.0):
+    """Bent trimers (default 120°): collinear geometry sits at the arccos
+    singularity (s = 0) where angle forces spike and the autodiff oracle is
+    undefined — keep the dynamics away from it."""
+    n = 3 * nmol
+    centers = rng.uniform(1, L - 1, (nmol, 3))
+    u1 = rng.normal(size=(nmol, 3))
+    u1 /= np.linalg.norm(u1, axis=1, keepdims=True)
+    p = rng.normal(size=(nmol, 3))
+    p -= np.sum(p * u1, axis=1, keepdims=True) * u1
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    th = np.deg2rad(theta)
+    u2 = np.cos(th) * u1 + np.sin(th) * p
+    x = np.concatenate([centers + r0 * u1, centers, centers + r0 * u2],
+                       axis=1).reshape(-1, 3) % L
+    x = (x + rng.normal(0, 0.02, x.shape)) % L
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.3, (n, 3)), typ=np.ones(n, np.int32),
+        mol=np.repeat(np.arange(1, nmol + 1), 3),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    bonds = []
+    angles = []
+    bid = aid = 1
+    for m in range(nmol):
+        a = 3 * m + 1
+        bonds.append([bid, 1, a, a + 1]); bid += 1
+        bonds.append([bid, 1, a + 1, a + 2]); bid += 1
+        angles.append([aid, 1, a, a + 1, a + 2]); aid += 1
+    return state, np.asarray(bonds), np.asarray(angles)
+
+
+def test_bond_force_is_minus_grad_energy(rng):
+    state, bonds, angles = _trimer_state(rng)
+    params = bd.make_params(bonds, {1: (50.0, 0.9)}, angles,
+                            {1: (10.0, 160.0)}, dtype=jnp.float64)
+    f, pe, vir = bd.compute(state, params)
+    g = jax.grad(lambda x: bd.potential_energy(x, state, params))(state.x)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g), atol=1e-10)
+    assert float(pe) > 0.0
+
+
+def test_bond_force_analytic():
+    """Two atoms at r = 1.2 with K=3, r0=1.0: |F| = 2*K*(r-r0) toward r0."""
+    state = SimState.create(
+        x=np.array([[1.0, 1.0, 1.0], [2.2, 1.0, 1.0]]),
+        box=Box.create([0, 0, 0], [10, 10, 10], dtype=jnp.float64),
+        dtype=jnp.float64)
+    params = bd.make_params([[1, 1, 1, 2]], {1: (3.0, 1.0)},
+                            dtype=jnp.float64)
+    f, pe, vir = bd.compute(state, params)
+    np.testing.assert_allclose(float(pe), 3.0 * 0.2**2, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f)[0],
+                               [2 * 3.0 * 0.2, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f)[1],
+                               [-2 * 3.0 * 0.2, 0, 0], atol=1e-12)
+
+
+def test_angle_energy_analytic():
+    """Right-angle trimer with theta0 = 90 deg has zero energy and force;
+    theta0 = 120 deg gives E = K (pi/6)^2."""
+    x = np.array([[1.0, 0, 0], [0.0, 0, 0], [0.0, 1.0, 0]]) + 2.0
+    state = SimState.create(
+        x=x, box=Box.create([0, 0, 0], [10, 10, 10], dtype=jnp.float64),
+        dtype=jnp.float64)
+    p90 = bd.make_params(angles=[[1, 1, 1, 2, 3]],
+                         angle_coeffs={1: (7.0, 90.0)}, dtype=jnp.float64)
+    f, pe, _ = bd.compute(state, p90)
+    np.testing.assert_allclose(float(pe), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-10)
+    p120 = bd.make_params(angles=[[1, 1, 1, 2, 3]],
+                          angle_coeffs={1: (7.0, 120.0)}, dtype=jnp.float64)
+    _, pe2, _ = bd.compute(state, p120)
+    np.testing.assert_allclose(float(pe2), 7.0 * (np.pi / 6) ** 2, rtol=1e-10)
+
+
+def test_special_tags():
+    bonds = [[1, 1, 1, 2], [2, 1, 2, 3]]
+    angles = [[1, 1, 1, 2, 3]]
+    s = bd.special_tags(4, bonds=bonds, angles=angles)
+    assert set(s[0]) - {0} == {2, 3}      # atom 1: 1-2 with 2, 1-3 with 3
+    assert set(s[1]) - {0} == {1, 3}
+    assert set(s[2]) - {0} == {1, 2}
+    assert set(s[3]) - {0} == set()
+    # weights (1,1,1) exclude nothing
+    s2 = bd.special_tags(4, bonds=bonds, angles=angles, weights=(1., 1., 1.))
+    assert not np.any(s2)
+    with pytest.raises(NotImplementedError):
+        bd.special_tags(4, bonds=bonds, weights=(0.5, 0.0, 0.0))
+
+
+@pytest.mark.parametrize("method", ["nsq", "cell"])
+def test_exclusions_remove_bonded_pairs(rng, method):
+    state, bonds, angles = _trimer_state(rng, nmol=12, L=12.0)
+    n = state.n_atoms
+    spec = nb.make_spec(n, [12.0] * 3, 2.5, 0.4, method=method)
+    excl_tags = bd.special_tags(n, bonds=bonds, angles=angles)
+    inv = jnp.arange(n, dtype=jnp.int32)  # unsorted: tag-1 == row
+    excl = jnp.where(jnp.asarray(excl_tags) > 0,
+                     jnp.asarray(excl_tags, jnp.int32) - 1, n)
+    nl0 = nb.build(state.x, state.box, spec)
+    nl1 = nb.build(state.x, state.box, spec, excl=excl)
+    idx0 = np.asarray(nl0.idx)
+    idx1 = np.asarray(nl1.idx)
+    for row in np.asarray(bonds):
+        i, j = row[2] - 1, row[3] - 1
+        assert (j in idx0[i]) and (i in idx0[j])   # bonded pair is in range
+        assert (j not in idx1[i]) and (i not in idx1[j])
+    for row in np.asarray(angles):
+        i, k = row[2] - 1, row[4] - 1
+        assert (k not in idx1[i]) and (i not in idx1[k])
+
+
+def test_nve_conservation_with_bonds(rng):
+    """Trimers with pair + bond + angle forces under NVE conserve energy."""
+    state, bonds, angles = _trimer_state(rng, nmol=16, L=14.0)
+    n = state.n_atoms
+    st, bank, tp, rc = helpers.build_two_state()
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+    bparams = bd.make_params(bonds, {1: (50.0, 0.9)}, angles,
+                             {1: (10.0, 120.0)}, dtype=jnp.float64)
+    excl = bd.special_tags(n, bonds=bonds, angles=angles)
+    spec = nb.make_spec(n, [14.0] * 3, rc, 0.4, method="nsq")
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    cfg = SimConfig(dt=0.001, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    reneigh_every=5)
+    sim = Simulation(system, state, pair_ucgld.compute, params, spec, cfg,
+                     bonded=bparams, excl_tags=excl)
+
+    def hamiltonian():
+        row = sim.thermo()
+        mu = float(jnp.sum(jnp.where(tp.n_states[sim.state.typ] > 1,
+                                     sim.state.ucgl * tp.mu_diff[sim.state.typ],
+                                     0.0)))
+        return row["etotal"] + mu
+
+    sim.setup((0, 200))
+    sim.run(10)
+    e0 = hamiltonian()
+    sim.run(190)
+    e1 = hamiltonian()
+    assert abs(e1 - e0) / max(abs(e0), 1e-12) < 1e-4
+
+
+def test_molecular_switch_deck(tmp_path):
+    """End-to-end molecular deck: 3-atom bonded molecules under
+    cluster_switch — bonds hold molecules together while whole molecules
+    flip type; switching statistics move."""
+    from make_deck import write_molecular_switch_deck
+
+    from lammps_ucg_dev_tpu.compat.script import ScriptRunner
+
+    deck = write_molecular_switch_deck(str(tmp_path), nmol=27, nsteps=60,
+                                       switch_freq=20, thermo_every=20)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_file(deck)
+    sim = r.sim
+    assert np.all(np.isfinite(np.asarray(sim.state.x)))
+    # whole molecules share one type after switching
+    typ = np.asarray(sim.state.typ).reshape(-1, 3)
+    assert np.all(typ == typ[:, :1])
+    # switch attempts were made
+    stats = np.asarray(sim.cswitch_stats.v)
+    assert stats[0] > 0
+    # bonds stayed intact: max bond extension bounded
+    x = np.asarray(sim.state.x)
+    L = float(np.asarray(sim.state.box.lengths)[0])
+    for m in range(typ.shape[0]):
+        for (i, j) in ((3 * m, 3 * m + 1), (3 * m + 1, 3 * m + 2)):
+            d = x[i] - x[j]
+            d -= L * np.round(d / L)
+            assert 0.4 < np.linalg.norm(d) < 1.6
