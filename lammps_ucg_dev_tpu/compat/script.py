@@ -18,12 +18,13 @@ touches, so a reference input deck drives this engine directly:
                 ucgstate [ld | mc seed rate] |
                 cluster_switch molID_seed mol_offset cutoff seed rateFreq N
                                rateFile f contactFile f
+    bond_style/bond_coeff harmonic, angle_style/angle_coeff harmonic,
+    special_bonds (0/1 weights), run_style verlet | respa (2-level)
+    group ID type|id|molecule ... (per-atom masks honored by the fixes)
     dump / dump_modify thresh / undump
     thermo / thermo_style (accepted; output is the engine's thermo row)
     run N / rerun
     log / print / echo / variable (minimal)
-
-Only the group "all" is supported for fixes (the reference decks use it).
 """
 
 from __future__ import annotations
@@ -100,6 +101,7 @@ class ScriptRunner:
         self.dt: float | None = None
         self.skin = 0.3
         self.reneigh_every = 10
+        self.respa_inner = 1
         self.neighbor_method: str | None = None
         self.pair: _PendingPair | None = None
         self.bond_style: str | None = None
@@ -112,6 +114,7 @@ class ScriptRunner:
         self.ucgstate_cfg: fs.UCGStateCfg | None = None
         self.cswitch: tuple | None = None
         self.fix_ids: dict = {}
+        self.groups: dict = {}
         self.dumps: dict = {}
         self.thermo_every = 0
         self.thermo_columns: list | None = None
@@ -195,9 +198,36 @@ class ScriptRunner:
             self.variables[a[0]] = a[-1]
 
     def _cmd_group(self, a):
-        if a[0] != "all":
-            self.log(f"WARNING: group {a[0]} recorded but only 'all' is "
-                     "honored by fixes")
+        """group ID type|id|molecule v1 v2 ... (values or i:j ranges) —
+        per-TAG boolean masks honored by the fixes (the reference's
+        mask[i] & groupbit, fix_nve_ucgld.cpp:64)."""
+        name, style = a[0], a[1] if len(a) > 1 else None
+        if name == "all":
+            return
+        if self.state is None:
+            raise ValueError("group before read_data")
+        n = self.state.n_atoms
+
+        def expand(toks):
+            vals = []
+            for t in toks:
+                if ":" in t:
+                    lo, hi = t.split(":")[:2]
+                    vals.extend(range(int(lo), int(hi) + 1))
+                else:
+                    vals.append(int(t))
+            return np.asarray(vals, np.int64)
+
+        src = {"type": self.state.typ, "id": self.state.tag,
+               "molecule": self.state.mol}.get(style)
+        if src is None:
+            raise ValueError(f"unsupported group style {style!r}")
+        vals = expand(a[2:])
+        member = np.isin(np.asarray(src), vals)
+        # storage order is tag order at read_data time -> per-tag mask
+        mask = np.zeros(n, bool)
+        mask[np.asarray(self.state.tag) - 1] = member
+        self.groups[name] = mask
 
     def _cmd_read_data(self, a):
         df = dio.read_data(self._path(a[0]), atom_style=self.atom_style)
@@ -218,15 +248,32 @@ class ScriptRunner:
         self.state, extra = rst.read_restart(self._path(a[0]), dtype=self.dtype)
         n = self.state.n_atoms
         ntypes = int(np.asarray(self.state.typ).max())
+        settings = rst.read_restart_settings(self._path(a[0]))
+        if "units" in settings and settings["units"] != self.units:
+            raise ValueError(
+                f"restart was written with units {settings['units']!r}, "
+                f"deck says {self.units!r}")
+        masses = (np.asarray(settings["masses"], np.float64)
+                  if "masses" in settings else np.ones(ntypes + 1))
         self.system = System(n_atoms=n, ntypes=ntypes,
-                             masses=np.ones(ntypes + 1), units=self.units)
+                             masses=masses, units=self.units)
         self._restart_extra = extra
+        # pair settings are cross-checked when pair_style is re-declared
+        # (the reference restores them outright and pair_coeff must be
+        # re-issued, pair_table_ucgld.cpp:1431-1471)
+        self._restart_settings = settings
 
     def _cmd_write_restart(self, a):
         extra = {}
         if self.sim is not None and self.sim.cswitch_stats is not None:
             extra["cswitch_stats"] = np.asarray(self.sim.cswitch_stats.v)
-        rst.write_restart(self._path(a[0]), self.state, extra)
+        settings = {"units": self.units, "masses": self._masses()}
+        if self.pair is not None:
+            settings.update(pair_style=self.pair.style,
+                            tabstyle=self.pair.tabstyle,
+                            tablength=self.pair.tablength)
+        rst.write_restart(self._path(a[0]), self.state, extra,
+                          settings=settings)
 
     def _cmd_write_data(self, a):
         dio.write_data(self._path(a[0]), self.state, self.system)
@@ -260,6 +307,27 @@ class ScriptRunner:
                 i += 2
             else:
                 i += 1
+
+    def _cmd_run_style(self, a):
+        # run_style verlet | respa 2 N bond 1 pair 2  (two-level r-RESPA:
+        # bonded at the inner level, pair at the outer — the shape the
+        # reference fixes support, fix_nve_ucgld.cpp:155-173)
+        if a[0] == "verlet":
+            self.respa_inner = 1
+            return
+        if a[0] != "respa":
+            raise ValueError(f"unsupported run_style {a[0]!r}")
+        nlevels = int(a[1])
+        if nlevels != 2:
+            raise ValueError("only 2-level respa (bond inner, pair outer) "
+                             "is supported")
+        self.respa_inner = int(a[2])
+        kw = a[3:]
+        for i in range(0, len(kw) - 1, 2):
+            k, lvl = kw[i], int(kw[i + 1])
+            if (k, lvl) not in (("bond", 1), ("angle", 1), ("pair", 2)):
+                raise ValueError(f"unsupported respa assignment {k} {lvl} "
+                                 "(bond/angle -> 1, pair -> 2)")
 
     def _cmd_bond_style(self, a):
         if a[0] not in ("harmonic", "none", "zero"):
@@ -331,6 +399,16 @@ class ScriptRunner:
                 f"{sorted(_PAIR_DIALECT)}")
         tabstyle = a[1]
         tablength = int(a[2])
+        rs = getattr(self, "_restart_settings", None)
+        if rs and "pair_style" in rs:
+            mism = [(k, rs[k], v) for k, v in
+                    (("pair_style", style), ("tabstyle", tabstyle),
+                     ("tablength", tablength)) if rs[k] != v]
+            if mism:
+                raise ValueError(
+                    "pair_style disagrees with the restart's stored "
+                    f"settings: {mism} (restart persists settings, "
+                    "pair_table_ucgld.cpp:1431-1471)")
         pending = _PendingPair(style=style, tabstyle=tabstyle,
                                tablength=tablength)
         dialect = _PAIR_DIALECT[style]
@@ -432,10 +510,14 @@ class ScriptRunner:
     def _cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
         rest = a[3:]
-        if group != "all":
-            self.log(f"WARNING: fix group {group!r} treated as 'all'")
+        if group == "all":
+            gmask = None
+        elif group in self.groups:
+            gmask = self.groups[group]
+        else:
+            raise ValueError(f"fix references undefined group {group!r}")
         if style == "nve/ucgld":
-            self.integrator = fi.IntegratorCfg(kind="nve/ucgld")
+            self.integrator = fi.IntegratorCfg(kind="nve/ucgld", group=gmask)
         elif style == "nve/ucgld/wall/hard":
             bias = False
             barrier = 0.1
@@ -450,25 +532,31 @@ class ScriptRunner:
                     raise ValueError(f"unknown wall/hard arg {rest[i]!r}")
             self.integrator = fi.IntegratorCfg(
                 kind="nve/ucgld/wall/hard", bias_potential=bias,
-                barrier=barrier)
+                barrier=barrier, group=gmask)
         elif style == "ucgld/langevin":
             self.langevin = fl.LangevinCfg(
                 t_start=float(rest[0]), t_stop=float(rest[1]),
-                t_period=float(rest[2]), seed=int(rest[3]))
+                t_period=float(rest[2]), seed=int(rest[3]), group=gmask)
         elif style == "ucgstate":
             if not rest:
-                self.ucgstate_cfg = fs.UCGStateCfg(mode="default")
+                self.ucgstate_cfg = fs.UCGStateCfg(mode="default",
+                                                   group=gmask)
             elif rest[0] == "ld":
-                self.ucgstate_cfg = fs.UCGStateCfg(mode="ld")
+                self.ucgstate_cfg = fs.UCGStateCfg(mode="ld", group=gmask)
             elif rest[0] == "mc":
                 # fix ucgstate mc seed rate (fix_ucgstate.cpp:37-67); the
                 # seed differentiates the MC draw stream (counter-based:
                 # folded into the per-step PRNG key)
                 self.ucgstate_cfg = fs.UCGStateCfg(
-                    mode="mc", seed=int(rest[1]), mc_rate=float(rest[2]))
+                    mode="mc", seed=int(rest[1]), mc_rate=float(rest[2]),
+                    group=gmask)
             else:
                 raise ValueError(f"unknown ucgstate arg {rest[0]!r}")
         elif style == "cluster_switch":
+            if gmask is not None:
+                self.log(f"WARNING: fix cluster_switch group {group!r} "
+                         "treated as 'all' (molecule selection comes from "
+                         "the rates file types)")
             # molID_seed mol_offset cutoff seed rateFreq N rateFile f contactFile f
             mol_seed = int(rest[0])
             mol_offset = int(rest[1])
@@ -552,7 +640,8 @@ class ScriptRunner:
         cfg = SimConfig(
             dt=dt, units=self.units, integrator=self.integrator,
             langevin=self.langevin, ucgstate=self.ucgstate_cfg,
-            reneigh_every=self.reneigh_every)
+            reneigh_every=self.reneigh_every,
+            respa_inner=self.respa_inner)
         system = System(n_atoms=n, ntypes=self.system.ntypes,
                         masses=self._masses(), units=self.units)
         bparams, excl = self._build_bonded(n)

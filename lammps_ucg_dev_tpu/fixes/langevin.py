@@ -36,6 +36,7 @@ class LangevinCfg:
     t_period: float
     seed: int = 1234
     enabled: bool = True
+    group: "object | None" = None   # per-TAG bool mask; None = all
 
 
 def t_target(cfg: LangevinCfg, step, beginstep, endstep):
@@ -63,7 +64,10 @@ def post_force(key: jax.Array, state: SimState, tT, dt: float,
     un_by_tag = jax.random.uniform(key, (state.rng_n,),
                                    dtype=state.ucgvl.dtype)
     un = jnp.take(un_by_tag, state.tag - 1)
-    return gamma1 * state.ucgvl + gamma2 * (un - 0.5)
+    out = gamma1 * state.ucgvl + gamma2 * (un - 0.5)
+    if cfg.group is not None:
+        out = jnp.where(jnp.asarray(cfg.group)[state.tag - 1], out, 0.0)
+    return out
 
 
 def lambda_temperature(state: SimState, u: units_mod.UnitSystem) -> jax.Array:

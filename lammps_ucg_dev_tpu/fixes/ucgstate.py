@@ -32,6 +32,7 @@ class UCGStateCfg:
                                  # folded into the per-step counter-based key
     compat_reference_mc: bool = False
     enabled: bool = True
+    group: "object | None" = None  # per-TAG bool mask; None = all
 
 
 def post_force(key: jax.Array, state: SimState, scores: jax.Array,
@@ -63,4 +64,11 @@ def post_force(key: jax.Array, state: SimState, scores: jax.Array,
     else:
         raise ValueError(f"unknown ucgstate mode {cfg.mode!r}")
 
+    if cfg.group is not None:
+        # the fix only updates its group's atoms (mask[i] & groupbit,
+        # fix_ucgstate.cpp:96); others keep their previous values
+        g = jnp.asarray(cfg.group)[state.tag - 1]
+        ucgp = jnp.where(g, ucgp, state.ucgp)
+        ucgstate = jnp.where(g, ucgstate, state.ucgstate)
+        ucgl = jnp.where(g, ucgl, state.ucgl)
     return dataclasses.replace(state, ucgp=ucgp, ucgstate=ucgstate, ucgl=ucgl)

@@ -6,8 +6,12 @@ The reference's restart persists the per-atom UCG fields
 re-declared after restart, pair_table_ucgld.cpp:1431-1471).  Here a restart
 file is a single .npz capturing the full SimState (positions, velocities,
 types, molecules, charges, images, all UCG fields, RNG key, step, box) plus
-optional fix state (cluster-switch statistics).  Pair tables are likewise
-rebuilt from the input configuration, matching the reference's contract.
+optional fix state (cluster-switch statistics).  Like the reference we also
+persist the pair-style SETTINGS (style name, tabstyle, tablength) and
+per-type masses; the continuation deck must re-declare ``pair_coeff`` (the
+tables themselves), and a re-declared ``pair_style`` is cross-checked
+against the stored settings on read (write_restart/read_restart_settings,
+pair_table_ucgld.cpp:1431-1471).
 """
 
 from __future__ import annotations
@@ -22,7 +26,12 @@ from lammps_ucg_dev_tpu.core.state import Box, SimState
 _VERSION = 1
 
 
-def write_restart(path: str, state: SimState, extra: dict | None = None) -> None:
+def write_restart(path: str, state: SimState, extra: dict | None = None,
+                  settings: dict | None = None) -> None:
+    """``settings`` is a flat dict of scalars/strings/1-D arrays describing
+    the non-atom configuration (pair style + tabstyle + tablength, units,
+    per-type masses) — the analogue of the reference's
+    ``PairTable_UCGLD::write_restart_settings``."""
     arrays = {
         "version": np.asarray(_VERSION),
         "step": np.asarray(state.step),
@@ -45,6 +54,8 @@ def write_restart(path: str, state: SimState, extra: dict | None = None) -> None
     }
     for k, v in (extra or {}).items():
         arrays[f"extra_{k}"] = np.asarray(v)
+    for k, v in (settings or {}).items():
+        arrays[f"setting_{k}"] = np.asarray(v)
     np.savez_compressed(path, **arrays)
 
 
@@ -78,3 +89,22 @@ def read_restart(path: str, dtype=jnp.float32):
     )
     extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
     return state, extra
+
+
+def read_restart_settings(path: str) -> dict:
+    """The ``settings`` dict stored by :func:`write_restart` (empty for
+    restarts written before settings persistence).  String-valued settings
+    come back as Python str, 0-d numerics as Python scalars."""
+    z = np.load(path, allow_pickle=False)
+    out = {}
+    for k in z.files:
+        if not k.startswith("setting_"):
+            continue
+        v = z[k]
+        if v.dtype.kind in "US":
+            out[k[len("setting_"):]] = str(v)
+        elif v.ndim == 0:
+            out[k[len("setting_"):]] = v.item()
+        else:
+            out[k[len("setting_"):]] = v
+    return out

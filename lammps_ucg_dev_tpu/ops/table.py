@@ -46,6 +46,57 @@ class BuiltTable:
     df: np.ndarray | None = None
     e2: np.ndarray | None = None
     f2: np.ndarray | None = None
+    # BITMAP extras (float-bit binning; pair_table_ucgld.cpp:1252-1344)
+    rsq: np.ndarray | None = None
+    drsq: np.ndarray | None = None   # 1 / (rsq[i+1] - rsq[i]), periodic
+    nmask: int = 0
+    nshiftbits: int = 0
+
+
+def _f32_bits(x: float) -> int:
+    """Bit pattern of float(x) as a (signed) int32 — the reference's
+    ``union_int_float_t`` (assignment to ``.f`` narrows double → float)."""
+    return int(np.float64(x).astype(np.float32).view(np.int32))
+
+
+def _bits_f32(i: int) -> float:
+    return float(np.array(i, np.int64).astype(np.uint32).view(np.float32))
+
+
+def init_bitmap(inner: float, outer: float, ntablebits: int):
+    """Stock ``Pair::init_bitmap`` (the reference calls it at
+    pair_table_ucgld.cpp:1260 but inherits the body from stock pair.cpp):
+    choose exponent/mantissa bit splits so 2^ntablebits bins cover
+    [inner², outer²] in float32 bit space; returns
+    (masklo, maskhi, nmask, nshiftbits)."""
+    if ntablebits > 32:
+        raise ValueError("Too many total bits for bitmapped lookup table")
+    if inner >= outer:
+        raise ValueError("Table inner cutoff >= outer cutoff")
+
+    nlowermin = 1
+    while not (2.0 ** nlowermin <= inner * inner
+               and 2.0 ** (nlowermin + 1) > inner * inner):
+        if 2.0 ** nlowermin <= inner * inner:
+            nlowermin += 1
+        else:
+            nlowermin -= 1
+
+    nexpbits = 0
+    required_range = outer * outer / 2.0 ** nlowermin
+    available_range = 2.0
+    while available_range < required_range:
+        nexpbits += 1
+        available_range = 2.0 ** (2.0 ** nexpbits)
+
+    nmantbits = ntablebits - nexpbits
+    nshiftbits = 24 - (nmantbits + 1)          # FLT_MANT_DIG = 24
+    if nshiftbits < 0:
+        raise ValueError("Too many mantissa bits for bitmapped lookup table")
+    nmask = (1 << (ntablebits + nshiftbits)) - 1
+    maskhi = _f32_bits(outer * outer) & ~nmask
+    masklo = _f32_bits(inner * inner) & ~nmask
+    return masklo, maskhi, nmask, nshiftbits
 
 
 def spline_table(tb: RawTable):
@@ -63,9 +114,15 @@ def spline_table(tb: RawTable):
 
 
 def build_table(tb: RawTable, tabstyle: str, tablength: int, cut: float) -> BuiltTable:
-    """Bin one raw table in r² (compute_table, :1105-1245)."""
-    if tabstyle == BITMAP or tb.rflag == BMP:
-        raise NotImplementedError("BITMAP table style not supported yet")
+    """Bin one raw table in r² (compute_table, :1105-1245).  For BITMAP,
+    ``tablength`` is the number of index BITS (2^tablength bins,
+    pair_table_ucgld.cpp:1252-1344)."""
+    if tb.rflag == BMP:
+        raise NotImplementedError(
+            "BITMAP-spaced table FILES are not supported; R/RSQ input files "
+            "work with every tabstyle including bitmap")
+    if tabstyle == BITMAP:
+        return _build_bitmap(tb, tablength, cut)
 
     if tb.ninput <= 1:
         raise ValueError("Invalid pair table length")
@@ -155,6 +212,65 @@ def build_table(tb: RawTable, tabstyle: str, tablength: int, cut: float) -> Buil
     raise ValueError(f"Unknown table style {tabstyle!r}")
 
 
+def _build_bitmap(tb: RawTable, ntablebits: int, cut: float) -> BuiltTable:
+    """Bitmapped linear tables: 2^N bins whose edges are float32 bit
+    patterns (compute_table BITMAP branch, pair_table_ucgld.cpp:1252-1344).
+    Bins wrap periodically in masked-bit index space; per-bin (rsq, 1/Δrsq)
+    replace the uniform (innersq, invdelta) of LINEAR."""
+    if tb.ninput <= 1:
+        raise ValueError("Invalid pair table length")
+    rlo = tb.rlo if tb.rflag else tb.r[0]
+    rhi = tb.rhi if tb.rflag else tb.r[-1]
+    if cut <= rlo or cut > rhi:
+        raise ValueError(
+            f"Pair table cutoff {cut} outside of table range [{rlo}, {rhi}]")
+    if rlo <= 0.0:
+        raise ValueError("Invalid pair table lower boundary")
+
+    e2file, f2file, fplo, fphi = spline_table(tb)
+    inner = rlo
+    masklo, maskhi, nmask, nshiftbits = init_bitmap(inner, cut, ntablebits)
+    ntable = 1 << ntablebits
+
+    idx_bits = np.arange(ntable, dtype=np.int64) << nshiftbits
+    f_lo = (idx_bits | masklo).astype(np.uint32).view(np.float32).astype(np.float64)
+    f_hi = (idx_bits | maskhi).astype(np.uint32).view(np.float32).astype(np.float64)
+    rsq_t = np.where(f_lo < inner * inner, f_hi, f_lo)
+    r = np.sqrt(np.float32(rsq_t).astype(np.float64))   # sqrtf, :1282
+    e = splint(tb.r, tb.e, e2file, r)
+    f = splint(tb.r, tb.f, f2file, r) / r
+    innersq = float(np.min(rsq_t))                       # minrsq, :1294
+
+    de = np.empty(ntable)
+    df = np.empty(ntable)
+    drsq = np.empty(ntable)
+    de[:-1] = e[1:] - e[:-1]
+    df[:-1] = f[1:] - f[:-1]
+    drsq[:-1] = 1.0 / (rsq_t[1:] - rsq_t[:-1])
+    # periodic closure between index ntable-1 and 0 (:1304-1308)
+    de[-1] = e[0] - e[-1]
+    df[-1] = f[0] - f[-1]
+    drsq[-1] = 1.0 / (rsq_t[0] - rsq_t[-1])
+
+    # the largest-r bin interpolates to cut² exactly (:1312-1343)
+    itablemin = int(np.argmin(rsq_t))
+    itablemax = (itablemin - 1) % ntable
+    f_edge = (np.int64(itablemax << nshiftbits) | maskhi)
+    edge = float(np.array(f_edge, np.int64).astype(np.uint32)
+                 .view(np.float32))
+    if edge < cut * cut:
+        rc = np.sqrt(np.float32(cut * cut).astype(np.float64))
+        e_tmp = float(splint(tb.r, tb.e, e2file, np.asarray([rc]))[0])
+        f_tmp = float(splint(tb.r, tb.f, f2file, np.asarray([rc]))[0] / rc)
+        de[itablemax] = e_tmp - e[itablemax]
+        df[itablemax] = f_tmp - f[itablemax]
+        drsq[itablemax] = 1.0 / (cut * cut - rsq_t[itablemax])
+
+    return BuiltTable(cut, innersq, 0.0, 0.0, 0.0, e, f, de, df,
+                      rsq=rsq_t, drsq=drsq, nmask=nmask,
+                      nshiftbits=nshiftbits)
+
+
 @pytree_dataclass(meta_fields=("style", "nbins", "uniform"))
 class TableBank:
     """All tables of a pair style, stacked on device.
@@ -185,13 +301,16 @@ class TableBank:
     e2: jax.Array         # (T, L) spline only (zeros otherwise)
     f2: jax.Array         # (T, L)
     packed: jax.Array     # (T*L, C): LOOKUP [e,f]; LINEAR [e,de,f,df];
-                          # SPLINE [e,f,e2,f2]
+                          # SPLINE [e,f,e2,f2]; BITMAP [e,de,f,df,rsq,drsq]
     # Uniform-binning fast path (all tables share innersq/delta/cut; the
     # common production case): one row of ``upacked`` holds ALL tables'
     # channels at a bin, so a pair needs ONE gather index for every state
     # combination instead of one per combination.
     uniform: bool = False
     upacked: jax.Array | None = None    # (L, T*C) when uniform
+    # BITMAP float-bit binning metadata
+    nmask: jax.Array | None = None      # (T,) int32
+    nshiftbits: jax.Array | None = None  # (T,) int32
 
     @property
     def n_tables(self) -> int:
@@ -222,6 +341,9 @@ class TableBank:
             channels = (e, de, f, df)
         elif style == SPLINE:
             channels = (e, f, e2, f2)
+        elif style == BITMAP:
+            channels = (e, de, f, df, stack(lambda t: t.rsq),
+                        stack(lambda t: t.drsq))
         else:
             raise NotImplementedError(f"table style {style!r}")
         packed = jnp.stack(channels, axis=-1).reshape(len(tables) * L, -1)
@@ -250,6 +372,10 @@ class TableBank:
             packed=packed,
             uniform=uniform,
             upacked=upacked,
+            nmask=(jnp.asarray([t.nmask for t in tables], jnp.int32)
+                   if style == BITMAP else None),
+            nshiftbits=(jnp.asarray([t.nshiftbits for t in tables], jnp.int32)
+                        if style == BITMAP else None),
         )
 
     def interp(self, t: jax.Array, rsq: jax.Array):
@@ -262,9 +388,25 @@ class TableBank:
         pair_table_ucgld.cpp:223-236).
         """
         inn = self.innersq[t]
+        L = self.nbins
+
+        if self.style == BITMAP:
+            # float32-bit binning (pair_table_ucgld.cpp:252-258): mask the
+            # bit pattern, shift to the index, linear-interpolate against the
+            # per-bin lower-edge rsq.  rsq > 0 so the sign bit never flows
+            # into the arithmetic shift.
+            bits = jax.lax.bitcast_convert_type(
+                rsq.astype(jnp.float32), jnp.int32)
+            it = jax.lax.shift_right_logical(
+                bits & self.nmask[t], self.nshiftbits[t])
+            v = jnp.take(self.packed, t * L + it, axis=0)
+            frac = (rsq - v[..., 4]) * v[..., 5]
+            e = v[..., 0] + frac * v[..., 1]
+            fp = v[..., 2] + frac * v[..., 3]
+            return e, fp, rsq < inn, jnp.zeros_like(rsq, bool)
+
         invd = self.invdelta[t]
         xbin = (rsq - inn) * invd
-        L = self.nbins
 
         if self.style == LOOKUP:
             it = jnp.clip(xbin.astype(jnp.int32), 0, L - 1)

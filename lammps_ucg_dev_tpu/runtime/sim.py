@@ -45,6 +45,9 @@ class SimConfig:
     langevin: fl.LangevinCfg | None = None
     ucgstate: fs.UCGStateCfg | None = None
     reneigh_every: int = 10
+    respa_inner: int = 1          # r-RESPA inner loop: bonded forces at the
+                                  # fast level, pair at the outer level
+                                  # (fix_nve_ucgld.cpp:155-173 + stock Respa)
     check_safety: bool = True     # fetch overflow/danger flags every block
     sort_atoms: bool = False      # reorder atoms by cell at reneighbor for
                                   # gather locality (LAMMPS atom-sort analogue;
@@ -137,7 +140,9 @@ class Simulation:
         if pair_params is None:
             pair_params = self.pair_params
         fout = self.pair_compute(state, nbr, pair_params)
-        if self.bonded is not None:
+        if self.bonded is not None and cfg.respa_inner == 1:
+            # single-level Verlet: bonded terms fold into the pair pass;
+            # under r-RESPA they live at the inner level (_block_impl)
             from lammps_ucg_dev_tpu.models import bonded as bd
 
             bf, bpe, bvir = bd.compute(state, self.bonded)
@@ -152,7 +157,11 @@ class Simulation:
             tT = fl.t_target(cfg.langevin, state.step, run_window[0], run_window[1])
             ucgforce = ucgforce + fl.post_force(sub, state, tT, cfg.dt, u, cfg.langevin)
         if cfg.integrator.wall and cfg.integrator.bias_potential:
-            ucgforce = ucgforce + fi.bias_force(state.ucgl, cfg.integrator.barrier)
+            bf = fi.bias_force(state.ucgl, cfg.integrator.barrier)
+            g = fi.group_mask(cfg.integrator, state)
+            if g is not None:
+                bf = jnp.where(g, bf, 0.0)
+            ucgforce = ucgforce + bf
         if self.extra_post_force is not None:
             state, ucgforce = self.extra_post_force(state, ucgforce, fout)
 
@@ -193,22 +202,58 @@ class Simulation:
             )
         nbr = self._nbr_build(state)
 
-        def body(carry, _):
-            state, fout = carry
-            mass = self._masses_by_type[state.typ]
-            state = fi.initial_integrate(
-                state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
-                cfg.integrator,
-            )
-            state, fout = self._forces(state, nbr, run_window)
-            state = fi.final_integrate(
-                state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
-                cfg.integrator,
-            )
-            state = dataclasses.replace(state, step=state.step + 1)
-            return (state, fout), None
+        if cfg.respa_inner > 1:
+            if self.bonded is None:
+                raise ValueError("respa_inner > 1 requires bonded terms "
+                                 "(the fast level)")
+            from lammps_ucg_dev_tpu.models import bonded as bd
 
-        (state, fout), _ = jax.lax.scan(body, (state, fcarry), None, length=nsteps)
+            bonded_f = lambda st: bd.compute(st, self.bonded)[0]
+            dt_in = cfg.dt / cfg.respa_inner
+
+            def body(carry, _):
+                state, fout, fbond = carry
+                mass = self._masses_by_type[state.typ]
+                state = fi.respa_outer_initial(
+                    state, fout.f, fout.ucgforce, mass, cfg.dt,
+                    cfg.u.ftm2v, cfg.integrator)
+
+                def inner(c, _):
+                    st, fb = c
+                    st, fb = fi.respa_inner_step(
+                        st, fb, mass, dt_in, cfg.u.ftm2v, cfg.integrator,
+                        bonded_f)
+                    return (st, fb), None
+
+                (state, fbond), _ = jax.lax.scan(
+                    inner, (state, fbond), None, length=cfg.respa_inner)
+                state, fout = self._forces(state, nbr, run_window)
+                state = fi.respa_outer_final(
+                    state, fout.f, fout.ucgforce, mass, cfg.dt,
+                    cfg.u.ftm2v, cfg.integrator)
+                state = dataclasses.replace(state, step=state.step + 1)
+                return (state, fout, fbond), None
+
+            (state, fout, _), _ = jax.lax.scan(
+                body, (state, fcarry, bonded_f(state)), None, length=nsteps)
+        else:
+            def body(carry, _):
+                state, fout = carry
+                mass = self._masses_by_type[state.typ]
+                state = fi.initial_integrate(
+                    state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
+                    cfg.integrator,
+                )
+                state, fout = self._forces(state, nbr, run_window)
+                state = fi.final_integrate(
+                    state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
+                    cfg.integrator,
+                )
+                state = dataclasses.replace(state, step=state.step + 1)
+                return (state, fout), None
+
+            (state, fout), _ = jax.lax.scan(body, (state, fcarry), None,
+                                            length=nsteps)
         danger = nbrmod.displacement_check(nbr, state.x, state.box, self.nbr_spec.skin)
         return state, fout, nbr.overflow, nbr.max_occupancy, danger
 
@@ -392,24 +437,56 @@ class Simulation:
         return out[order]
 
 
+    @property
+    def _thermo_jit(self):
+        """All thermo scalars in ONE jitted device computation + ONE host
+        transfer (the reference's Thermo::compute analogue; avoids the ~8
+        separate device syncs a naive per-scalar implementation costs when
+        thermo_every is small)."""
+        if not hasattr(self, "_thermo_fn"):
+            u = self.cfg.u
+
+            def impl(state, fout):
+                mass = self._masses_by_type[state.typ]
+                ke = 0.5 * jnp.sum(mass * jnp.sum(state.v**2, axis=-1)) * u.mvv2e
+                pe = fout.pe
+                if self.bonded is not None and self.cfg.respa_inner > 1:
+                    # under r-RESPA the pair pass doesn't fold bonded terms in
+                    from lammps_ucg_dev_tpu.models import bonded as bd
+
+                    pe = pe + bd.compute(state, self.bonded)[1]
+                if (self.cfg.integrator.wall
+                        and self.cfg.integrator.bias_potential):
+                    pe_bias = jnp.sum(jnp.where(
+                        self._is_ucg(state),
+                        fi.bias_energy(state.ucgl,
+                                       self.cfg.integrator.barrier), 0.0))
+                else:
+                    pe_bias = jnp.zeros_like(pe)
+                ke_lambda = (0.5 * jnp.sum(state.ucgml * state.ucgvl**2)
+                             * u.mvv2e)
+                vol = jnp.prod(state.box.lengths)
+                virial_tr = fout.virial[0] + fout.virial[1] + fout.virial[2]
+                lam_t = fl.lambda_temperature(state, u)
+                dt = jnp.result_type(ke, pe)
+                vec = jnp.stack([jnp.asarray(v, dt) for v in (
+                    ke, pe, pe_bias, ke_lambda, lam_t, vol, virial_tr)])
+                oob = (jnp.stack([fout.oob_low, fout.oob_high])
+                       if fout.oob_low is not None else None)
+                return vec, oob
+
+            self._thermo_fn = jax.jit(impl)
+        return self._thermo_fn
+
     def thermo(self) -> dict:
         state, fout = self.state, self._fcarry
         u = self.cfg.u
         n = state.n_atoms
-        mass = self._masses_by_type[state.typ]
-        ke = 0.5 * float(jnp.sum(mass * jnp.sum(state.v**2, axis=-1))) * u.mvv2e
+        vec, oob = self._thermo_jit(state, fout)
+        ke, pe, pe_bias, ke_lambda, lam_t, vol, virial_tr = (
+            float(v) for v in np.asarray(vec))
         dof = max(3 * n - 3, 1)
         temp = 2.0 * ke / (dof * u.boltz)
-        pe = float(fout.pe)
-        if self.cfg.integrator.wall and self.cfg.integrator.bias_potential:
-            pe_bias = float(jnp.sum(jnp.where(
-                self._is_ucg(state),
-                fi.bias_energy(state.ucgl, self.cfg.integrator.barrier), 0.0)))
-        else:
-            pe_bias = 0.0
-        ke_lambda = 0.5 * float(jnp.sum(state.ucgml * state.ucgvl**2)) * u.mvv2e
-        vol = float(jnp.prod(state.box.lengths))
-        virial_tr = float(fout.virial[0] + fout.virial[1] + fout.virial[2])
         press = (2.0 * ke + virial_tr) / (3.0 * vol) * u.nktv2p
         row = {
             "step": int(state.step),
@@ -417,11 +494,12 @@ class Simulation:
             "pe": pe + pe_bias,
             "ke": ke,
             "ke_lambda": ke_lambda,
-            "lambda_temp": float(fl.lambda_temperature(state, u)),
+            "lambda_temp": lam_t,
             "etotal": ke + pe + pe_bias + ke_lambda,
             "press": press,
         }
-        if fout.oob_low is not None:
-            row["oob_low"] = int(fout.oob_low)
-            row["oob_high"] = int(fout.oob_high)
+        if oob is not None:
+            oob = np.asarray(oob)
+            row["oob_low"] = int(oob[0])
+            row["oob_high"] = int(oob[1])
         return row

@@ -195,3 +195,110 @@ def test_molecular_switch_deck(tmp_path):
             d = x[i] - x[j]
             d -= L * np.round(d / L)
             assert 0.4 < np.linalg.norm(d) < 1.6
+
+
+def _respa_sim(rng, respa_inner, dt, bond_k=400.0):
+    state, bonds, angles = _trimer_state(rng, nmol=16, L=14.0)
+    n = state.n_atoms
+    st, bank, tp, rc = helpers.build_two_state()
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+    bparams = bd.make_params(bonds, {1: (bond_k, 0.9)}, angles,
+                             {1: (10.0, 120.0)}, dtype=jnp.float64)
+    excl = bd.special_tags(n, bonds=bonds, angles=angles)
+    spec = nb.make_spec(n, [14.0] * 3, rc, 0.4, method="nsq")
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    cfg = SimConfig(dt=dt, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    reneigh_every=5, respa_inner=respa_inner)
+    return Simulation(system, state, pair_ucgld.compute, params, spec, cfg,
+                      bonded=bparams, excl_tags=excl)
+
+
+def _drift(sim, tp, nsteps=200):
+    def hamiltonian():
+        row = sim.thermo()
+        mu = float(jnp.sum(jnp.where(tp.n_states[sim.state.typ] > 1,
+                                     sim.state.ucgl * tp.mu_diff[sim.state.typ],
+                                     0.0)))
+        return row["etotal"] + mu
+
+    sim.setup((0, nsteps))
+    sim.run(5)
+    e0 = hamiltonian()
+    sim.run(nsteps - 5)
+    return abs(hamiltonian() - e0) / abs(e0)
+
+
+def test_respa_conserves_energy(rng):
+    """2-level r-RESPA (stiff bonds inner, pair outer): at an outer dt too
+    large for single-level Verlet, respa_inner=4 conserves energy much
+    better (fix_nve_ucgld.cpp:155-173 multi-timestep paths)."""
+    _, bank, tp, rc = helpers.build_two_state()
+    d_respa = _drift(_respa_sim(np.random.default_rng(3), 4, 0.004), tp)
+    d_plain = _drift(_respa_sim(np.random.default_rng(3), 1, 0.004), tp)
+    assert d_respa < 2e-4, d_respa
+    assert d_respa < d_plain / 5, (d_respa, d_plain)
+
+
+def test_run_style_respa_deck(tmp_path):
+    """run_style respa flows from an input deck into the driver."""
+    from make_deck import write_molecular_switch_deck
+
+    from lammps_ucg_dev_tpu.compat.script import ScriptRunner
+
+    deck = write_molecular_switch_deck(str(tmp_path), nmol=16, nsteps=40,
+                                       switch_freq=20, thermo_every=20)
+    text = open(deck).read().replace(
+        "timestep", "run_style respa 2 4 bond 1 pair 2\ntimestep")
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(text)
+    assert r.sim.cfg.respa_inner == 4
+    assert np.all(np.isfinite(np.asarray(r.sim.state.x)))
+
+
+def test_fix_group_masks(tmp_path):
+    """fix <group> honors per-atom group masks: atoms outside the
+    integrator's group are frozen, and the λ thermostat only heats its
+    group (reference mask[i] & groupbit, fix_nve_ucgld.cpp:64)."""
+    from make_deck import write_molecular_switch_deck
+
+    from lammps_ucg_dev_tpu.compat.script import ScriptRunner
+
+    write_molecular_switch_deck(str(tmp_path), nmol=27, nsteps=10)
+    deck = "\n".join([
+        "units lj", "atom_style ucg", "read_data system.data",
+        "pair_style table_ucgld linear 1200 mol.settings",
+        "pair_coeff 1 1 1 1 mol.table T11 2.5",
+        "pair_coeff 1 2 1 1 mol.table T12 2.5",
+        "pair_coeff 2 2 1 1 mol.table T22 2.5",
+        "bond_style harmonic", "bond_coeff 1 50.0 0.9",
+        "angle_style harmonic", "angle_coeff 1 10.0 180.0",
+        "neighbor 0.4 bin", "neigh_modify every 5",
+        "timestep 0.002",
+        "group mobile type 1",
+        "velocity all create 0.8 7",
+        "fix 1 mobile nve/ucgld",
+        "run 20",
+    ])
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    x0 = None
+
+    class Cap:
+        pass
+
+    r.run_string("\n".join(deck.splitlines()[:-1]))  # everything but run
+    x0 = np.asarray(r.state.x).copy()
+    typ = np.asarray(r.state.typ)
+    r.command("run 20")
+    x1 = np.asarray(r.sim.state.x)
+    moved = np.linalg.norm(x1 - x0, axis=1)
+    assert np.all(moved[typ == 2] == 0.0), "non-group atoms must stay frozen"
+    assert np.mean(moved[typ == 1] > 0) > 0.9, "group atoms must move"
+
+    with pytest.raises(ValueError, match="undefined group"):
+        rr = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                          log_callback=lambda m: None)
+        rr.run_string("\n".join(deck.splitlines()[:-2]
+                                + ["fix 9 nosuch nve/ucgld"]))

@@ -2,6 +2,7 @@
 (data + tables + settings + script) drives the engine."""
 
 import os
+import pytest
 import sys
 
 import jax.numpy as jnp
@@ -225,3 +226,35 @@ rerun traj.lammpstrj every 20 dump x y z ucgl
     r2.run_string(rerun_deck)
     out = dmp.read_dump(str(tmp_path / "rerun_out.lammpstrj"))
     assert [s.step for s in out] == [0, 20]
+
+
+def test_restart_persists_settings_and_masses(tmp_path):
+    """write_restart stores pair settings + masses (the reference's
+    write_restart_settings, pair_table_ucgld.cpp:1431-1471): a continuation
+    deck with a MISMATCHED pair_style errors, and per-type masses survive
+    without re-declaration."""
+    deck = write_ucgld_deck(str(tmp_path), n=64, nsteps=10, dt=0.002,
+                            tablength=800)
+    text = open(deck).read().replace("read_data system.data",
+                                     "read_data system.data\nmass 1 2.5")
+    text += "write_restart chk.npz\n"
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(text)
+
+    head = "units lj\natom_style ucg\nread_restart chk.npz\n"
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r2.run_string(head)
+    assert r2.system.masses[1] == 2.5, "masses must persist through restart"
+
+    with pytest.raises(ValueError, match="restart's stored settings"):
+        r3 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                          log_callback=lambda m: None)
+        r3.run_string(head +
+                      "pair_style table_ucgld spline 900 ucg.settings\n")
+
+    with pytest.raises(ValueError, match="units"):
+        r4 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                          log_callback=lambda m: None)
+        r4.run_string("units real\natom_style ucg\nread_restart chk.npz\n")

@@ -116,3 +116,117 @@ def test_sorted_atoms_match_unsorted(rng):
                                np.asarray(sim1.state.x), atol=1e-12)
     np.testing.assert_allclose(np.asarray(sim2.state.ucgl)[order],
                                np.asarray(sim1.state.ucgl), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# sharded coverage for the other pair styles + cluster_switch (P2-P4, F5)
+# ---------------------------------------------------------------------------
+
+def _build_style_sim(rng, style, n=256, L=12.0):
+    """A Simulation for bethe / bethe_density / rleucg at modest size."""
+    from lammps_ucg_dev_tpu.io.state_settings import parse_state_settings
+    from lammps_ucg_dev_tpu.models import (pair_bethe, pair_bethe_density,
+                                           pair_rleucg)
+    from lammps_ucg_dev_tpu.models.typemap import RLEUCGBuilder, TablePairBuilder
+
+    x = helpers.random_fluid(rng, n, L)
+    kT = 0.8
+    rc = 2.5
+    if style == "rleucg":
+        st = parse_state_settings(
+            "2 3\n2 density use_entropy\n5.0 1.5\n0.4\n1 density no_entropy\n",
+            "rleucg")
+        b = RLEUCGBuilder("linear", 2000, st)
+        mk = lambda e: helpers.make_soft_table(e, rc, n=2000)
+        for (i, j, e) in ((1, 1, 1.0), (1, 2, 0.7), (1, 3, 0.8),
+                          (2, 2, 0.4), (2, 3, 0.5), (3, 3, 0.9)):
+            b.pair_coeff(i, j, mk(e), rc)
+        typ = np.where(rng.uniform(size=n) < 0.7, 1, 3).astype(np.int32)
+        params = pair_rleucg.make_params(b, st, kT, dtype=jnp.float64)
+        compute = pair_rleucg.compute
+        ntypes = 3
+    else:
+        if style == "bethe_density":
+            st = parse_state_settings(
+                "2 3 2\n1 1\n2 2\n2 3 density entropy\n6.0 1.5\n0.0 0.2\n",
+                "bethe_density")
+        else:
+            st = parse_state_settings("2 3 2\n1 1\n2 2\n2 3\n0.0 0.2\n",
+                                      "bethe")
+        b = TablePairBuilder("linear", 2000, st)
+        mk = lambda e: (helpers.make_soft_table(e, rc, n=2000), rc)
+        b.pair_coeff(1, 1, 1, 1, [mk(1.0)])
+        b.pair_coeff(1, 2, 1, 2, [mk(0.8), mk(0.5)])
+        b.pair_coeff(2, 2, 2, 2, [mk(0.9), mk(0.55), mk(0.55), mk(0.3)])
+        bank, tp = b.build(dtype=jnp.float64)
+        typ = np.where(rng.uniform(size=n) < 0.7, 2, 1).astype(np.int32)
+        if style == "bethe_density":
+            params = pair_bethe_density.make_params(bank, tp, kT,
+                                                    dtype=jnp.float64)
+            compute = pair_bethe_density.compute
+        else:
+            params = pair_bethe.make_params(bank, tp, kT, dtype=jnp.float64)
+            compute = pair_bethe.compute
+        ntypes = 2
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.5, (n, 3)), typ=typ,
+        ucgl=rng.uniform(0.2, 0.8, n), ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell")
+    system = System(n_atoms=n, ntypes=ntypes,
+                    masses=np.ones(ntypes + 1))
+    ucfg = None if style == "rleucg" else fs.UCGStateCfg(mode="default")
+    cfg = SimConfig(dt=0.002, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=ucfg, reneigh_every=5)
+    return Simulation(system, state, compute, params, spec, cfg)
+
+
+@pytest.mark.parametrize("style", ["bethe", "bethe_density", "rleucg"])
+def test_sharded_style_matches_single_device(style):
+    """P2/P3/P4 sharded over the 8-device mesh == single-device (verdict:
+    multi-device coverage beyond pair_ucgld)."""
+    sim1 = _build_style_sim(np.random.default_rng(5), style)
+    sim2 = _build_style_sim(np.random.default_rng(5), style)
+    sim1.run(10)
+    domain.distribute(sim2, domain.make_mesh(8))
+    sim2.run(10)
+    for name in ("x", "v", "ucgl", "ucgp", "ucgstate"):
+        np.testing.assert_allclose(np.asarray(getattr(sim2.state, name)),
+                                   np.asarray(getattr(sim1.state, name)),
+                                   atol=1e-11, err_msg=name)
+
+
+def test_sharded_cluster_switch_matches_single_device():
+    """F5 under GSPMD sharding: the jitted label-propagation while_loop and
+    molecule flips partition over the mesh and match single-device."""
+    from lammps_ucg_dev_tpu.fixes import cluster_switch as fcs
+
+    def build(rng):
+        sim = _build_sim(rng, n=64, L=16.0)
+        # 32 dimer molecules; contact map on type 1 pairs
+        mol = np.repeat(np.arange(1, 33), 2).astype(np.int32)
+        import dataclasses as dc
+        sim.state = dc.replace(sim.state, mol=jnp.asarray(mol))
+        params = fcs.make_params(
+            ntypes=1, contacts=[(1, 1)], atomtypes_on=[1], atomtypes_off=[1],
+            probON=0.5, cutoff=1.5, mol_seed=1, mol_offset=0, maxmol=32,
+            dtype=jnp.float64)
+        sim.cswitch = (params, 5)
+        sim.cswitch_stats = fcs.ClusterSwitchStats.zeros(jnp.float64)
+        sim._cswitch_jit = jax.jit(sim._cswitch_impl)
+        return sim
+
+    sim1 = build(np.random.default_rng(9))
+    sim2 = build(np.random.default_rng(9))
+    sim1.run(20)
+    domain.distribute(sim2, domain.make_mesh(8))
+    sim2.run(20)
+    np.testing.assert_allclose(np.asarray(sim2.state.x),
+                               np.asarray(sim1.state.x), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sim2.state.typ),
+                                  np.asarray(sim1.state.typ))
+    np.testing.assert_allclose(np.asarray(sim2.cswitch_stats.v),
+                               np.asarray(sim1.cswitch_stats.v), atol=0)

@@ -36,10 +36,13 @@ def test_spline_reproduces_cubic():
                                rtol=0, atol=1e-10)
 
 
-@pytest.mark.parametrize("style", [tbl.LOOKUP, tbl.LINEAR, tbl.SPLINE])
+@pytest.mark.parametrize("style", [tbl.LOOKUP, tbl.LINEAR, tbl.SPLINE,
+                                   tbl.BITMAP])
 def test_interp_matches_analytic(style):
     raw = make_raw()
-    built = tbl.build_table(raw, style, 2000, cut=3.0)
+    # BITMAP tablength is the bit count: 2^12 bins
+    built = tbl.build_table(raw, style, 12 if style == tbl.BITMAP else 2000,
+                            cut=3.0)
     bank = tbl.TableBank.from_built([built], style, dtype=jnp.float64)
 
     r = np.linspace(1.0, 2.8, 173)
@@ -51,7 +54,8 @@ def test_interp_matches_analytic(style):
     # stored f is f(r)/r -> force magnitude = fp * r
     # LOOKUP returns the bin-midpoint value (bin width ~4e-3 in r²), so it is
     # inherently first-order; LINEAR/SPLINE interpolate within the bin.
-    tol = {tbl.LOOKUP: 3e-2, tbl.LINEAR: 5e-4, tbl.SPLINE: 1e-5}[style]
+    tol = {tbl.LOOKUP: 3e-2, tbl.LINEAR: 5e-4, tbl.SPLINE: 1e-5,
+           tbl.BITMAP: 2e-3}[style]
     np.testing.assert_allclose(np.asarray(e), e_ref, atol=tol, rtol=tol)
     np.testing.assert_allclose(np.asarray(fp) * r, f_ref, atol=10 * tol, rtol=10 * tol)
     assert not np.any(np.asarray(lo))
@@ -98,3 +102,88 @@ def test_rsq_match_shortcut():
     built = tbl.build_table(raw, tbl.LINEAR, n, cut=rhi)
     np.testing.assert_allclose(built.e, e, rtol=1e-14)
     np.testing.assert_allclose(built.f, f / r, rtol=1e-14)
+
+
+def test_bitmap_bins_cover_range_and_match_stored_edges():
+    """Every queried rsq lands in a bin whose stored lower-edge rsq is <= it
+    and whose width covers it (exactness at bin edges); the bin index is the
+    reference's masked-float-bit lookup (pair_table_ucgld.cpp:252-258)."""
+    raw = make_raw()
+    built = tbl.build_table(raw, tbl.BITMAP, 10, cut=3.0)
+    bank = tbl.TableBank.from_built([built], tbl.BITMAP, dtype=jnp.float64)
+    # exactness at the stored bin edges
+    keep = (built.rsq >= 1.0) & (built.rsq < 3.0 * 3.0 * 0.999)
+    rsq_edges = jnp.asarray(built.rsq[keep])
+    t = jnp.zeros_like(rsq_edges, dtype=jnp.int32)
+    e, fp, lo, hi = bank.interp(t, rsq_edges)
+    np.testing.assert_allclose(np.asarray(e), built.e[keep], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(fp), built.f[keep], rtol=1e-12)
+
+
+def test_bitmap_pair_style_matches_linear(rng):
+    """table_ucgld forces with a bitmap bank agree with the linear bank."""
+    import helpers
+    from lammps_ucg_dev_tpu.core.state import Box, SimState
+    from lammps_ucg_dev_tpu.models import pair_ucgld
+    from lammps_ucg_dev_tpu.ops import neighbor as nb
+
+    n, L = 128, 10.0
+    x = helpers.random_fluid(rng, n, L)
+    state = SimState.create(
+        x=x, typ=np.ones(n, np.int32), ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    spec = nb.make_spec(n, [L] * 3, 2.5, 0.4, method="nsq")
+    nbr = nb.build(state.x, state.box, spec)
+    outs = {}
+    for style, length in ((tbl.LINEAR, 4096), (tbl.BITMAP, 12)):
+        st, bank, tp, rc = helpers.build_two_state(tabstyle=style,
+                                                   tablength=length)
+        params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                        kT=jnp.asarray(0.8))
+        outs[style] = pair_ucgld.compute(state, nbr, params)
+    np.testing.assert_allclose(np.asarray(outs[tbl.BITMAP].f),
+                               np.asarray(outs[tbl.LINEAR].f),
+                               atol=5e-3, rtol=5e-3)
+    np.testing.assert_allclose(float(outs[tbl.BITMAP].pe),
+                               float(outs[tbl.LINEAR].pe), rtol=1e-3)
+
+
+def test_pair_single_matches_table():
+    """Pair::single() analogue: the (0,0)-combo table value at rsq — the
+    stock pair_table body every reference style shares
+    (pair_table_ucgld.cpp:1474-1520)."""
+    import helpers
+    from lammps_ucg_dev_tpu.models import pair_single
+
+    st, bank, tp, rc = helpers.build_two_state()
+    r = np.linspace(1.0, 2.4, 57)
+    e, fp, lo, hi = pair_single.single(bank, tp, 1, 1, jnp.asarray(r * r))
+    e_ref, f_ref = helpers.soft_pair(r, eps=1.0, rc=rc)
+    np.testing.assert_allclose(np.asarray(e), e_ref, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(fp) * r, f_ref, atol=5e-3,
+                               rtol=5e-3)
+    assert not np.any(np.asarray(lo)) and not np.any(np.asarray(hi))
+    # factor_lj scales both outputs (the special-bonds hook)
+    e2, fp2, _, _ = pair_single.single(bank, tp, 1, 1, jnp.asarray(r * r),
+                                       factor_lj=0.5)
+    np.testing.assert_allclose(np.asarray(e2), 0.5 * np.asarray(e), rtol=1e-12)
+
+
+def test_pair_single_mixed_matches_lambda_mix():
+    """single_mixed == Σ wi wj u_ss' against per-table single() queries."""
+    import helpers
+    from lammps_ucg_dev_tpu.models import pair_single
+
+    eps = (1.0, 0.6, 0.6, 0.25)
+    st, bank, tp, rc = helpers.build_two_state(eps=eps)
+    r = np.linspace(1.0, 2.4, 33)
+    li, lj_ = 0.3, 0.8
+    emix, fmix, lo, hi = pair_single.single_mixed(
+        bank, tp, 1, 1, jnp.asarray(r * r), li, lj_)
+    w = np.array([(1 - li) * (1 - lj_), (1 - li) * lj_,
+                  li * (1 - lj_), li * lj_])
+    e_ref = sum(wk * helpers.soft_pair(r, eps=ek, rc=rc)[0]
+                for wk, ek in zip(w, eps))
+    np.testing.assert_allclose(np.asarray(emix), e_ref, atol=5e-4, rtol=5e-4)
