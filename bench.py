@@ -51,7 +51,7 @@ def run_main(n: int, steps: int, chunk: int) -> dict:
 
     from __graft_entry__ import _build_sim
 
-    sim = _build_sim(n=n, reneigh_every=10)
+    sim = _build_sim(n=n, reneigh_every=20)
     if chunk and n % chunk == 0:
         sim.pair_params = dataclasses.replace(sim.pair_params, chunk=chunk)
     cfg = sim.cfg
@@ -91,6 +91,72 @@ def run_main(n: int, steps: int, chunk: int) -> dict:
         "temp": round(row["temp"], 4),
         "device": str(jax.devices()[0]),
     }
+
+
+def run_phases(n: int, reps: int = 30) -> dict:
+    """Phase breakdown on device: pair-force eval alone (fast + full kernel
+    variants), candidate pack alone, neighbor/column build, and a full MD
+    step — the Timer-style observability the reference gets from stock
+    LAMMPS (SURVEY.md §5).  Also prints a VPU bound analysis for the kernel
+    path (the pair kernel is VPU-bound, not MXU/HBM-bound: tabulated pair
+    physics has no matmul shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_cache()
+
+    from __graft_entry__ import _build_sim
+    from lammps_ucg_dev_tpu.ops import colpack
+
+    sim = _build_sim(n=n, reneigh_every=20)
+    sim.setup((0, 1000))
+    state = sim.state
+    nbr = sim._nbr_build(state)
+    jax.block_until_ready(state.x)
+
+    def timeit(fn, *args):
+        r = fn(*args)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        return (time.time() - t0) / reps
+
+    out = {"n_atoms": n, "device": str(jax.devices()[0])}
+    pair_full = jax.jit(lambda s, c: sim.pair_compute(s, c, sim.pair_params))
+    out["pair_full_ns_atom"] = round(timeit(pair_full, state, nbr) / n * 1e9, 2)
+    fast = getattr(sim.pair_compute, "fast_variant", None)
+    if fast is not None:
+        pair_fast = jax.jit(lambda s, c: fast(s, c, sim.pair_params))
+        out["pair_fast_ns_atom"] = round(
+            timeit(pair_fast, state, nbr) / n * 1e9, 2)
+    build = jax.jit(sim._nbr_build)
+    out["nbr_build_ns_atom"] = round(timeit(build, state) / n * 1e9, 2)
+    if isinstance(sim.nbr_spec, colpack.ColumnSpec):
+        packf = jax.jit(lambda s, c: colpack.pack(
+            c, s.box, s.x, s.ucgl, s.ucgstate))
+        out["pack_ns_atom"] = round(timeit(packf, state, nbr) / n * 1e9, 2)
+        # VPU bound analysis: candidates/atom is pinned at NSTEN*W by the
+        # window geometry; ~(10*degree + ~60) VPU lane-ops per candidate;
+        # v5e VPU ~ 1024 lanes/cycle @ ~0.94 GHz
+        cand = colpack.NSTEN * colpack.W
+        deg = sim.pair_params.cheb.degree if sim.pair_params.cheb else 0
+        ops = 10 * deg + 60
+        out["bound_analysis"] = {
+            "candidates_per_atom": cand,
+            "cheb_degree": deg,
+            "est_vpu_ops_per_candidate": ops,
+            "vpu_sol_ns_atom": round(cand * ops / (1024 * 0.94e9) * 1e9, 1),
+        }
+    nre = sim.cfg.reneigh_every
+    step1 = jax.jit(lambda s, f: sim._block_impl(s, f, jnp.asarray((0, 1000)),
+                                                 nre))
+    fc = sim._fcarry
+    t = timeit(lambda: step1(state, fc))
+    out["md_step_ns_atom"] = round(t / nre / n * 1e9, 2)
+    out["reneigh_every"] = nre
+    return out
 
 
 def run_drift(n: int) -> dict:
@@ -147,6 +213,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--main-only", action="store_true")
     ap.add_argument("--drift-only", action="store_true")
+    ap.add_argument("--phases", action="store_true",
+                    help="per-phase timing breakdown + VPU bound analysis")
     args = ap.parse_args()
 
     n = 4096 if args.quick else args.n
@@ -156,6 +224,9 @@ def main():
         return
     if args.drift_only:
         print(json.dumps(run_drift(n)))
+        return
+    if args.phases:
+        print(json.dumps(run_phases(n)))
         return
 
     if args.quick:

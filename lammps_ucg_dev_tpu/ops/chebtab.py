@@ -55,7 +55,7 @@ def fit_bank(bank: TableBank, degree: int | None = None, oversample: int = 4,
     ``max_rel_err`` anyway."""
     if degree is None:
         last = None
-        for d in (6, 8, 12, 16, 20, 24):
+        for d in (5, 6, 8, 12, 16, 20, 24):
             last = fit_bank(bank, degree=d, oversample=oversample, dtype=dtype)
             if float(np.max(np.asarray(last.max_rel_err))) < rel_tol:
                 return last

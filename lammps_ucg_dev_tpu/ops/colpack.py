@@ -54,6 +54,8 @@ from lammps_ucg_dev_tpu.core.state import Box, pytree_dataclass
 CL = 8          # atoms per cluster (vreg sublane count, f32)
 W = 128         # window width in slots (vreg lane count)
 NSTEN = 9       # 3x3 x-y column stencil
+_PAD_POISON = 1.0e17   # pad-slot coordinate: far enough that dx² overflows
+                       # any cutoff, small enough that dx² stays finite in f32
 
 
 @pytree_dataclass(meta_fields=("mx", "my", "cz", "gz", "czp", "G", "S"))
@@ -71,8 +73,8 @@ class ColumnList:
     atom_slot: jax.Array       # (N,) int32 -> real slot index
     i_valid: jax.Array         # (ncol*cz,) bool — real slot holds a real atom
                                # (not a ghost-top copy placed in the region)
-    meta: jax.Array            # (n_prog, 32) int32: [3 padded-col starts,
-                               #  3 page ids, pad] (one per stencil x-row)
+    meta: jax.Array            # (n_prog, 32) int32: [9 stencil cols,
+                               #  9 page ids, 9 encoded xy-image shifts, pad]
     x0: jax.Array              # (N, 3) build-time positions
     overflow: jax.Array        # () bool — any capacity/window/ghost overflow
     max_occupancy: jax.Array   # () int32 — max window span seen (<= W ok)
@@ -163,6 +165,26 @@ def _stencil(mx, my):
                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
                     axis=1).astype(np.int32)
     return sten
+
+
+def _stencil_shifts(mx, my):
+    """(ncol, 9) int32: encoded x/y periodic image shift of each stencil
+    column relative to its center column — ``(sx+1)*3 + (sy+1)`` with
+    sx, sy ∈ {-1, 0, +1} (units of Lx/Ly).  Because the column grid has
+    >= 3 columns per side and side >= cutoff+skin, the column relationship
+    uniquely determines the only image that can be within the cutoff, so the
+    kernel applies the shift ONCE per window instead of per-candidate
+    min-image rounds."""
+    ncol = mx * my
+    cx, cy = np.divmod(np.arange(ncol, dtype=np.int64), my)
+    enc = []
+    for dx in (-1, 0, 1):
+        sx = (cx + dx) // mx        # -1, 0, or +1 (floor division)
+        for dy in (-1, 0, 1):
+            sy = (cy + dy) // my
+            # j position must shift by +s to sit next to i: x_j + s*L
+            enc.append(((sx + 1) * 3 + (sy + 1)).astype(np.int32))
+    return np.stack(enc, axis=1).astype(np.int32)
 
 
 def _round_czp(cz, gz, S):
@@ -401,10 +423,12 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
 
     n_prog = ncol * gpc
     sten_rep = np.repeat(spec.stencil_cols, gpc, axis=0)        # (n_prog, 9)
+    shift_rep = np.repeat(_stencil_shifts(mx, my), gpc, axis=0)
     meta = jnp.concatenate([
         jnp.asarray(sten_rep, jnp.int32),
         page.reshape(n_prog, NSTEN),
-        jnp.zeros((n_prog, 32 - 2 * NSTEN), jnp.int32),
+        jnp.asarray(shift_rep, jnp.int32),
+        jnp.zeros((n_prog, 32 - 3 * NSTEN), jnp.int32),
     ], axis=1)
 
     return ColumnList(
@@ -439,7 +463,13 @@ def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
         jnp.ones((n, 1), dtype),
         jnp.zeros((n, 2), dtype),
     ], axis=1)
-    attrs = jnp.concatenate([attrs, jnp.zeros((1, 8), dtype)], axis=0)
+    # pad row: positions poisoned far outside the box so pad slots fail the
+    # rsq < cutsq test geometrically (valid flag stays 0 as a belt-and-
+    # braces mask for the full kernel; the fast kernel relies on the poison)
+    pad_row = jnp.concatenate([
+        jnp.full((1, 3), _PAD_POISON, dtype), jnp.zeros((1, 5), dtype)],
+        axis=1)
+    attrs = jnp.concatenate([attrs, pad_row], axis=0)
     ext = jnp.take(attrs, cl.slot_atom_ext, axis=0)            # (ncol*czp, 8)
     Lz = box.lengths[2].astype(dtype)
     ext = ext.at[:, 2].add(cl.zshift.astype(dtype) * Lz)

@@ -54,19 +54,28 @@ def supports(params: UCGLDParams, n_atoms: int) -> bool:
     )
 
 
-def _kernel(ce, degree, G, gpc, czp, gz, S,
-            scal_ref, meta_ref, ipack_ref, pages_ref, out_ref, out2_ref,
-            jwin, sems):
+def _kernel(ce, degree, G, gpc, czp, gz, S, observe,
+            scal_ref, meta_ref, ipack_ref, pages_ref, *refs):
     """One program: G i-clusters vs 9 DMA'd stencil-column windows.
 
     scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, dom_lo, dom_hi, ., .]
-    meta_ref (SMEM, (8,32) i32): rows [9 stencil cols, 9 page ids, pad]
+    meta_ref (SMEM, (8,32) i32): rows [9 stencil cols, 9 page ids,
+             9 encoded xy image shifts, pad]
     ipack_ref (G*8, 8): own real slots [x y z λ state valid 0 0]
     pages_ref (npage, ncol, 8, W) in HBM: overlapped z-pages
     out_ref  (G*8, 8): [fx fy fz lamf s0 s1 0 0]
     out2_ref (8, 8): per-program partials [pe vxx vyy vzz vxy vxz vyz oob_lo]
+             — only with ``observe``; the fast variant (observe=False) skips
+             energy/virial/oob entirely (the MD step itself needs only
+             forces, λ-forces, and scores; observables are produced by a
+             full-kernel evaluation at block ends)
     jwin     (NSTEN, 8, W) VMEM scratch; sems (NSTEN,) DMA semaphores
     """
+    if observe:
+        out_ref, out2_ref, jwin, sems = refs
+    else:
+        out_ref, jwin, sems = refs
+        out2_ref = None
     gs = G * CL
     # meta rows come in 8-row SMEM blocks (TPU block-shape legality); this
     # program's row is p % 8 within its block
@@ -98,10 +107,20 @@ def _kernel(ce, degree, G, gpc, czp, gz, S,
 
     for s in range(NSTEN):
         window_dma(s).wait()
+        # hoist the xy periodic image ONCE per window: the column
+        # relationship statically determines the only image within cutoff
+        # (colpack._stencil_shifts), replacing per-candidate min-image
+        # rounds (8 VPU ops/candidate) with 2 row updates per window
+        code = meta_ref[mrow, 2 * NSTEN + s]
+        sx = (code // 3 - 1).astype(jnp.float32)
+        sy = (code % 3 - 1).astype(jnp.float32)
+        jwin[s, 0:1, :] = jwin[s, 0:1, :] + sx * Lx
+        jwin[s, 1:2, :] = jwin[s, 1:2, :] + sy * Ly
 
-    pe_t = jnp.zeros((), jnp.float32)
-    vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
-    oob_t = jnp.zeros((), jnp.float32)
+    if observe:
+        pe_t = jnp.zeros((), jnp.float32)
+        vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
+        oob_t = jnp.zeros((), jnp.float32)
 
     for b in range(G):
         sl = slice(b * CL, (b + 1) * CL)
@@ -118,9 +137,10 @@ def _kernel(ce, degree, G, gpc, czp, gz, S,
         lamf = jnp.zeros((CL, W), jnp.float32)
         s0 = jnp.zeros((CL, W), jnp.float32)
         s1 = jnp.zeros((CL, W), jnp.float32)
-        pe = jnp.zeros((CL, W), jnp.float32)
-        vir = [jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
-        oob = jnp.zeros((CL, W), jnp.float32)
+        if observe:
+            pe = jnp.zeros((CL, W), jnp.float32)
+            vir = [jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
+            oob = jnp.zeros((CL, W), jnp.float32)
 
         for s in range(NSTEN):
             c = meta_ref[mrow, s]
@@ -130,22 +150,23 @@ def _kernel(ce, degree, G, gpc, czp, gz, S,
             zj = jwin[s, 2:3, :]
             lj = jwin[s, 3:4, :]
             sj = jwin[s, 4:5, :]
-            vj = jwin[s, 5:6, :]
             gidj = (c * czp + z0).astype(jnp.float32) + lane   # (1, W)
 
-            dx = xi - xj
-            dx = dx - Lx * jnp.round(dx / Lx)
+            dx = xi - xj                       # windows carry shifted x/y
             dy = yi - yj
-            dy = dy - Ly * jnp.round(dy / Ly)
             dz = zi - zj                       # ghosts carry shifted z
             rsq = dx * dx + dy * dy + dz * dz
 
-            mask = ((rsq < cutsq) & (vj > 0.5) & (vi > 0.5)
-                    & (gidi != gidj))
-            rsqm = jnp.where(mask, rsq, dom_hi)
-            oob = oob + jnp.where(mask & (rsq < innersq), 1.0, 0.0)
+            # pad slots carry poisoned coordinates (colpack._PAD_POISON), so
+            # rsq < cutsq covers slot validity; the full kernel keeps the
+            # valid-flag masks as belt-and-braces for pe/virial exactness
+            mask = (rsq < cutsq) & (gidi != gidj)
+            if observe:
+                vj = jwin[s, 5:6, :]
+                mask = mask & (vj > 0.5) & (vi > 0.5)
+                oob = oob + jnp.where(mask & (rsq < innersq), 1.0, 0.0)
 
-            u = 2.0 * (rsqm - dom_lo) / (dom_hi - dom_lo) - 1.0
+            u = 2.0 * (rsq - dom_lo) / (dom_hi - dom_lo) - 1.0
             u = jnp.clip(u, -1.0, 1.0)
 
             # shared-basis Chebyshev: one T_k recurrence, 8 channel dots
@@ -167,21 +188,23 @@ def _kernel(ce, degree, G, gpc, czp, gz, S,
             w10 = li * mj
             w11 = li * lj
             zero = jnp.zeros_like(u)
-            emix = jnp.where(
-                mask, w00 * e00 + w01 * e01 + w10 * e10 + w11 * e11, zero)
             fmix = jnp.where(
                 mask, w00 * f00 + w01 * f01 + w10 * f10 + w11 * f11, zero)
 
             fx = fx + fmix * dx
             fy = fy + fmix * dy
             fz = fz + fmix * dz
-            pe = pe + emix
-            vir[0] = vir[0] + fmix * dx * dx
-            vir[1] = vir[1] + fmix * dy * dy
-            vir[2] = vir[2] + fmix * dz * dz
-            vir[3] = vir[3] + fmix * dx * dy
-            vir[4] = vir[4] + fmix * dx * dz
-            vir[5] = vir[5] + fmix * dy * dz
+            if observe:
+                emix = jnp.where(
+                    mask, w00 * e00 + w01 * e01 + w10 * e10 + w11 * e11,
+                    zero)
+                pe = pe + emix
+                vir[0] = vir[0] + fmix * dx * dx
+                vir[1] = vir[1] + fmix * dy * dy
+                vir[2] = vir[2] + fmix * dz * dz
+                vir[3] = vir[3] + fmix * dx * dy
+                vir[4] = vir[4] + fmix * dx * dz
+                vir[5] = vir[5] + fmix * dy * dz
 
             # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00))
             lamf = lamf - jnp.where(
@@ -199,21 +222,29 @@ def _kernel(ce, degree, G, gpc, czp, gz, S,
         out_ref[sl, 5:6] = jnp.sum(s1, axis=1, keepdims=True)
         out_ref[sl, 6:8] = jnp.zeros((CL, 2), jnp.float32)
 
-        pe_t = pe_t + jnp.sum(pe)
-        for v in range(6):
-            vir_t[v] = vir_t[v] + jnp.sum(vir[v])
-        oob_t = oob_t + jnp.sum(oob)
+        if observe:
+            pe_t = pe_t + jnp.sum(pe)
+            for v in range(6):
+                vir_t[v] = vir_t[v] + jnp.sum(vir[v])
+            oob_t = oob_t + jnp.sum(oob)
 
-    row = jnp.concatenate([
-        pe_t[None], vir_t[0][None], vir_t[1][None], vir_t[2][None],
-        vir_t[3][None], vir_t[4][None], vir_t[5][None], oob_t[None],
-    ])[None, :]
-    out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
+    if observe:
+        row = jnp.concatenate([
+            pe_t[None], vir_t[0][None], vir_t[1][None], vir_t[2][None],
+            vir_t[3][None], vir_t[4][None], vir_t[5][None], oob_t[None],
+        ])[None, :]
+        out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
 
 
 def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
-            cheb: ChebBank, interpret: bool = False) -> ForceOut:
-    """ForceOut-compatible fused evaluation (see module docstring for scope)."""
+            cheb: ChebBank, interpret: bool = False,
+            observe: bool = True) -> ForceOut:
+    """ForceOut-compatible fused evaluation (see module docstring for scope).
+
+    ``observe=False`` selects the fast kernel variant: no energy/virial/oob
+    accumulation (pe/virial come back 0) — use for interior MD steps where
+    only forces/λ-forces/scores feed the integrator, with a full evaluation
+    at block ends for observables (the LAMMPS eflag/vflag pattern)."""
     n = state.x.shape[0]
     tp = params.tp
     dtype = jnp.float32
@@ -234,13 +265,21 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
     ce = [[float(c) for c in row]
           for row in np.asarray(cheb.coeffs, np.float64)]
     kern = functools.partial(_kernel, ce, cheb.degree, G, gpc, cl.czp, cl.gz,
-                             cl.S)
+                             cl.S, observe)
 
     meta = cl.meta
     if meta.shape[0] % 8:
         meta = jnp.pad(meta, ((0, -meta.shape[0] % 8), (0, 0)))
 
-    out, out2 = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((cl.n_slots, 8), dtype)]
+    if observe:
+        out_specs.append(
+            pl.BlockSpec((8, 8), lambda p: (p, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_prog * 8, 8), dtype))
+
+    outs = pl.pallas_call(
         kern,
         grid=(n_prog,),
         in_specs=[
@@ -252,20 +291,15 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
             # dims (page id, padded column), never the (8, W) tile
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[
-            pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((cl.n_slots, 8), dtype),
-            jax.ShapeDtypeStruct((n_prog * 8, 8), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((NSTEN, 8, W), dtype),
             pltpu.SemaphoreType.DMA((NSTEN,)),
         ],
         interpret=interpret,
     )(scal, meta, ipack, pages)
+    out = outs[0]
 
     out_at = jnp.take(out, cl.atom_slot, axis=0)               # (N, 8)
     f = out_at[:, 0:3]
@@ -276,14 +310,22 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
     scores = scores.at[:, 1].add(-tp.mu_diff[state.typ] / kT)
     scores = jnp.where(is_ucg[:, None], scores, 0.0)
 
-    totals = jnp.sum(out2[::8], axis=0)
+    if observe:
+        totals = jnp.sum(outs[1][::8], axis=0)
+        pe = 0.5 * totals[0]
+        virial = 0.5 * totals[1:7]
+        oob_low = totals[7].astype(jnp.int32)
+    else:
+        pe = jnp.zeros((), dtype)
+        virial = jnp.zeros((6,), dtype)
+        oob_low = jnp.zeros((), jnp.int32)
     return ForceOut(
         f=f,
         ucgforce=ucgforce,
         scores=scores,
-        pe=0.5 * totals[0],
-        virial=0.5 * totals[1:7],
-        oob_low=totals[7].astype(jnp.int32),
+        pe=pe,
+        virial=virial,
+        oob_low=oob_low,
         oob_high=jnp.zeros((), jnp.int32),
     )
 
@@ -294,6 +336,17 @@ def compute_style(state: SimState, cl: colpack.ColumnList,
     ``params.cheb`` (set it via ``chebtab.fit_bank``); ``nbr`` is a
     ColumnList built by ops/colpack.py."""
     return compute(state, cl, params, params.cheb)
+
+
+def compute_style_fast(state: SimState, cl: colpack.ColumnList,
+                       params: UCGLDParams) -> ForceOut:
+    """Fast variant of :func:`compute_style` — no energy/virial/oob
+    (observe=False).  The Simulation driver uses it for interior steps of a
+    reneighbor block and runs the full kernel on the last step."""
+    return compute(state, cl, params, params.cheb, observe=False)
+
+
+compute_style.fast_variant = compute_style_fast
 
 
 def make_compute(params: UCGLDParams, cheb: ChebBank, interpret: bool = False):

@@ -134,12 +134,13 @@ class Simulation:
 
     # ---- one force evaluation + post-force fixes -------------------------
 
-    def _forces(self, state: SimState, nbr, run_window, pair_params=None):
+    def _forces(self, state: SimState, nbr, run_window, pair_params=None,
+                pair_fn=None):
         cfg = self.cfg
         u = cfg.u
         if pair_params is None:
             pair_params = self.pair_params
-        fout = self.pair_compute(state, nbr, pair_params)
+        fout = (pair_fn or self.pair_compute)(state, nbr, pair_params)
         if self.bonded is not None and cfg.respa_inner == 1:
             # single-level Verlet: bonded terms fold into the pair pass;
             # under r-RESPA they live at the inner level (_block_impl)
@@ -237,23 +238,37 @@ class Simulation:
             (state, fout, _), _ = jax.lax.scan(
                 body, (state, fcarry, bonded_f(state)), None, length=nsteps)
         else:
-            def body(carry, _):
-                state, fout = carry
-                mass = self._masses_by_type[state.typ]
-                state = fi.initial_integrate(
-                    state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
-                    cfg.integrator,
-                )
-                state, fout = self._forces(state, nbr, run_window)
-                state = fi.final_integrate(
-                    state, fout.f, fout.ucgforce, mass, cfg.dt, cfg.u.ftm2v,
-                    cfg.integrator,
-                )
-                state = dataclasses.replace(state, step=state.step + 1)
-                return (state, fout), None
+            def make_body(pair_fn):
+                def body(carry, _):
+                    state, fout = carry
+                    mass = self._masses_by_type[state.typ]
+                    state = fi.initial_integrate(
+                        state, fout.f, fout.ucgforce, mass, cfg.dt,
+                        cfg.u.ftm2v, cfg.integrator,
+                    )
+                    state, fout = self._forces(state, nbr, run_window,
+                                               pair_fn=pair_fn)
+                    state = fi.final_integrate(
+                        state, fout.f, fout.ucgforce, mass, cfg.dt,
+                        cfg.u.ftm2v, cfg.integrator,
+                    )
+                    state = dataclasses.replace(state, step=state.step + 1)
+                    return (state, fout), None
+                return body
 
-            (state, fout), _ = jax.lax.scan(body, (state, fcarry), None,
-                                            length=nsteps)
+            fast_fn = getattr(self.pair_compute, "fast_variant", None)
+            if fast_fn is not None and nsteps > 1:
+                # LAMMPS eflag/vflag pattern: interior steps run the fast
+                # pair variant (forces/λ-forces/scores only); the block's
+                # last step runs the full kernel so the carried ForceOut
+                # holds valid pe/virial/oob for thermo
+                (state, fout), _ = jax.lax.scan(
+                    make_body(fast_fn), (state, fcarry), None,
+                    length=nsteps - 1)
+                (state, fout), _ = make_body(None)((state, fout), None)
+            else:
+                (state, fout), _ = jax.lax.scan(
+                    make_body(None), (state, fcarry), None, length=nsteps)
         danger = nbrmod.displacement_check(nbr, state.x, state.box, self.nbr_spec.skin)
         return state, fout, nbr.overflow, nbr.max_occupancy, danger
 

@@ -44,3 +44,16 @@ def test_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out_k.virial),
                                np.asarray(out_x.virial), rtol=1e-5, atol=1e-2)
     assert int(out_k.oob_low) == 0
+
+    # fast variant (observe=False): same forces/λ-forces/scores to within
+    # FMA-contraction rounding (the two variants compile to different fused
+    # expression trees), no energy/virial accumulation (interior-step kernel)
+    out_f = pk.compute(state, cl, params, cheb, interpret=True,
+                       observe=False)
+    np.testing.assert_allclose(np.asarray(out_f.f), np.asarray(out_k.f),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(out_f.ucgforce),
+                               np.asarray(out_k.ucgforce), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f.scores),
+                               np.asarray(out_k.scores), atol=1e-5)
+    assert float(out_f.pe) == 0.0
