@@ -233,7 +233,12 @@ class ScriptRunner:
         df = dio.read_data(self._path(a[0]), atom_style=self.atom_style)
         self.datafile = df
         box = Box.create(df.box_lo, df.box_hi, periodic=self.boundary,
-                         dtype=self.dtype)
+                         dtype=self.dtype, tilt=df.box_tilt)
+        if df.box_tilt is not None:
+            # triclinic: only the all-pairs neighbor path handles tilted
+            # min-image (binned cells and the Pallas kernel assume an
+            # orthogonal grid)
+            self.neighbor_method = "nsq"
         self.state = SimState.create(
             x=df.x, v=df.v, typ=df.typ, mol=df.mol, q=df.q,
             ucgstate=df.ucgstate, ucgl=df.ucgl, ucgvl=df.ucgvl,

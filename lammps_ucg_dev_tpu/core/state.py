@@ -58,39 +58,93 @@ def pytree_dataclass(cls=None, *, meta_fields=()):
 
 @pytree_dataclass(meta_fields=("periodic",))
 class Box:
-    """Orthogonal simulation box (triclinic unsupported, like the UCG package's
-    usage)."""
+    """Simulation box: orthogonal, or restricted triclinic with LAMMPS tilt
+    factors ``tilt = (xy, xz, yz)`` (cell vectors a = (lx,0,0),
+    b = (xy,ly,0), c = (xz,yz,lz) — the stock-LAMMPS convention the implied
+    L0 runtime supports; the UCG package itself never exercises tilt).
+    Triclinic boxes are served by the ``nsq`` neighbor path; the binned cell
+    list and the fused Pallas kernel require an orthogonal box."""
 
     lo: jax.Array  # (3,)
     hi: jax.Array  # (3,)
+    tilt: "jax.Array | None" = None   # (3,) = (xy, xz, yz); None = orthogonal
     periodic: tuple = (True, True, True)
 
     @property
     def lengths(self) -> jax.Array:
         return self.hi - self.lo
 
+    @property
+    def is_triclinic(self) -> bool:
+        return self.tilt is not None
+
+    @property
+    def h_matrix(self) -> jax.Array:
+        """Upper-triangular cell matrix H with columns (a, b, c):
+        x = lo + H @ s for fractional s ∈ [0, 1)³."""
+        L = self.lengths
+        z = jnp.zeros((), L.dtype)
+        xy, xz, yz = ((self.tilt[0], self.tilt[1], self.tilt[2])
+                      if self.tilt is not None else (z, z, z))
+        return jnp.stack([
+            jnp.stack([L[0], xy, xz]),
+            jnp.stack([z, L[1], yz]),
+            jnp.stack([z, z, L[2]]),
+        ])
+
     def min_image(self, dr: jax.Array) -> jax.Array:
-        """Minimum-image displacement for orthogonal PBC."""
+        """Minimum-image displacement (orthogonal, or restricted-triclinic
+        via the sequential z→y→x rounds of LAMMPS ``Domain::minimum_image``
+        — exact when tilts are within the LAMMPS bounds and the cutoff is
+        below half the minimum perpendicular width)."""
         L = self.lengths
         per = jnp.asarray(self.periodic, dtype=dr.dtype)
-        return dr - per * L * jnp.round(dr / L)
+        if self.tilt is None:
+            return dr - per * L * jnp.round(dr / L)
+        xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+        nz = per[2] * jnp.round(dr[..., 2] / L[2])
+        dx = dr[..., 0] - nz * xz
+        dy = dr[..., 1] - nz * yz
+        dz = dr[..., 2] - nz * L[2]
+        ny = per[1] * jnp.round(dy / L[1])
+        dx = dx - ny * xy
+        dy = dy - ny * L[1]
+        nx = per[0] * jnp.round(dx / L[0])
+        dx = dx - nx * L[0]
+        return jnp.stack([dx, dy, dz], axis=-1)
 
     def wrap(self, x: jax.Array, image: jax.Array | None = None):
         """Wrap positions into the primary cell; update image flags."""
         L = self.lengths
         per = np.asarray(self.periodic)
-        shift = jnp.floor((x - self.lo) / L)
-        shift = jnp.where(jnp.asarray(per)[None, :], shift, 0.0)
-        x_w = x - shift * L
+        if self.tilt is None:
+            shift = jnp.floor((x - self.lo) / L)
+            shift = jnp.where(jnp.asarray(per)[None, :], shift, 0.0)
+            x_w = x - shift * L
+        else:
+            xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+            d = x - self.lo
+            # fractional coordinates via analytic inverse of the
+            # upper-triangular H
+            sz = d[..., 2] / L[2]
+            sy = (d[..., 1] - yz * sz) / L[1]
+            sx = (d[..., 0] - xy * sy - xz * sz) / L[0]
+            s = jnp.stack([sx, sy, sz], axis=-1)
+            shift = jnp.floor(s)
+            shift = jnp.where(jnp.asarray(per)[None, :], shift, 0.0)
+            x_w = x - shift @ self.h_matrix.T
         if image is None:
             return x_w
         return x_w, image + shift.astype(image.dtype)
 
     @staticmethod
-    def create(lo, hi, periodic=(True, True, True), dtype=jnp.float32) -> "Box":
+    def create(lo, hi, periodic=(True, True, True), dtype=jnp.float32,
+               tilt=None) -> "Box":
         return Box(
             lo=jnp.asarray(lo, dtype=dtype),
             hi=jnp.asarray(hi, dtype=dtype),
+            tilt=(jnp.asarray(tilt, dtype=dtype) if tilt is not None
+                  else None),
             periodic=tuple(bool(p) for p in periodic),
         )
 

@@ -27,6 +27,7 @@ class DataFile:
     n_types: int = 0
     box_lo: np.ndarray = None
     box_hi: np.ndarray = None
+    box_tilt: np.ndarray = None      # (xy, xz, yz) or None (orthogonal)
     masses: np.ndarray = None          # (ntypes+1,)
     ids: np.ndarray = None
     mol: np.ndarray = None
@@ -95,7 +96,8 @@ def read_data(path: str, atom_style: str = "ucg") -> DataFile:
             elif s.endswith("zlo zhi"):
                 df.box_lo[2], df.box_hi[2] = float(toks[0]), float(toks[1])
             elif s.endswith("xy xz yz"):
-                raise ValueError("triclinic boxes are not supported")
+                df.box_tilt = np.array([float(toks[0]), float(toks[1]),
+                                        float(toks[2])])
         i += 1
 
     n = df.n_atoms
@@ -216,7 +218,11 @@ def write_data(path: str, state, system, comment: str = "") -> None:
         fh.write(f"{n} atoms\n{system.ntypes} atom types\n\n")
         fh.write(f"{lo[0]:.15g} {hi[0]:.15g} xlo xhi\n")
         fh.write(f"{lo[1]:.15g} {hi[1]:.15g} ylo yhi\n")
-        fh.write(f"{lo[2]:.15g} {hi[2]:.15g} zlo zhi\n\n")
+        fh.write(f"{lo[2]:.15g} {hi[2]:.15g} zlo zhi\n")
+        if state.box.tilt is not None:
+            t = np.asarray(state.box.tilt)
+            fh.write(f"{t[0]:.15g} {t[1]:.15g} {t[2]:.15g} xy xz yz\n")
+        fh.write("\n")
         fh.write("Masses\n\n")
         for t in range(1, system.ntypes + 1):
             fh.write(f"{t} {system.masses[t]:.15g}\n")

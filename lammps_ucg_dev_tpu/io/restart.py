@@ -51,6 +51,8 @@ def write_restart(path: str, state: SimState, extra: dict | None = None,
         "box_lo": np.asarray(state.box.lo),
         "box_hi": np.asarray(state.box.hi),
         "box_periodic": np.asarray(state.box.periodic),
+        "box_tilt": (np.asarray(state.box.tilt)
+                     if state.box.tilt is not None else np.zeros(0)),
     }
     for k, v in (extra or {}).items():
         arrays[f"extra_{k}"] = np.asarray(v)
@@ -64,9 +66,13 @@ def read_restart(path: str, dtype=jnp.float32):
     z = np.load(path, allow_pickle=False)
     if int(z["version"]) != _VERSION:
         raise ValueError(f"unsupported restart version {int(z['version'])}")
+    tilt = None
+    if "box_tilt" in z.files and z["box_tilt"].size == 3:
+        tilt = jnp.asarray(z["box_tilt"], dtype)
     box = Box(
         lo=jnp.asarray(z["box_lo"], dtype),
         hi=jnp.asarray(z["box_hi"], dtype),
+        tilt=tilt,
         periodic=tuple(bool(p) for p in z["box_periodic"]),
     )
     state = SimState(

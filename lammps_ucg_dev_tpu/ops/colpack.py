@@ -315,6 +315,8 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
 
 
 def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
+    if box.is_triclinic:
+        raise ValueError("the column kernel path requires an orthogonal box")
     n = x.shape[0]
     mx, my, cz, gz, czp, gs = (spec.mx, spec.my, spec.cz, spec.gz, spec.czp,
                                spec.gs)

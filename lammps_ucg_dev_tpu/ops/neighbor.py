@@ -184,6 +184,9 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec,
     they never appear as candidates; ``i_valid`` rows=False get EMPTY lists
     (ghost rows own no force/energy tallies); ``excl`` (N, S) special rows
     are removed per list (see build_nsq)."""
+    if box.is_triclinic:
+        raise ValueError("binned cell lists require an orthogonal box; "
+                         "use method='nsq' for triclinic")
     n = x.shape[0]
     cps = np.asarray(spec.cells_per_side, dtype=np.int64)
     ncells = int(np.prod(cps))
