@@ -101,6 +101,7 @@ class ScriptRunner:
         self.dt: float | None = None
         self.skin = 0.3
         self.reneigh_every = 10
+        self.reneigh_check = True
         self.respa_inner = 1
         self.neighbor_method: str | None = None
         self.pair: _PendingPair | None = None
@@ -300,14 +301,18 @@ class ScriptRunner:
             if a[i] == "every":
                 self.reneigh_every = int(a[i + 1])
                 i += 2
-            elif a[i] in ("delay", "check", "once", "page"):
-                # this engine reneighbors on a fixed cadence (jit-friendly)
-                # with a displacement check surfacing dangerous builds; the
-                # LAMMPS delay/check triggers have no exact analogue
-                if (a[i], a[i + 1]) not in (("delay", "0"), ("check", "no"),
-                                            ("check", "yes")):
+            elif a[i] == "check":
+                # check yes: rebuild at block cadence only when the
+                # displacement check demands it (the default); check no:
+                # rebuild every block unconditionally
+                self.reneigh_check = a[i + 1] == "yes"
+                i += 2
+            elif a[i] in ("delay", "once", "page"):
+                # rebuild candidacy is at block cadence (jit-friendly);
+                # LAMMPS delay/once/page have no exact analogue
+                if (a[i], a[i + 1]) != ("delay", "0"):
                     self.log(f"WARNING: neigh_modify {a[i]} {a[i + 1]} has no "
-                             "effect (fixed-cadence rebuilds + displacement "
+                             "effect (block-cadence rebuilds + displacement "
                              "check)")
                 i += 2
             else:
@@ -646,6 +651,7 @@ class ScriptRunner:
             dt=dt, units=self.units, integrator=self.integrator,
             langevin=self.langevin, ucgstate=self.ucgstate_cfg,
             reneigh_every=self.reneigh_every,
+            reneigh_check=self.reneigh_check,
             respa_inner=self.respa_inner)
         system = System(n_atoms=n, ntypes=self.system.ntypes,
                         masses=self._masses(), units=self.units)

@@ -45,6 +45,9 @@ class SimConfig:
     langevin: fl.LangevinCfg | None = None
     ucgstate: fs.UCGStateCfg | None = None
     reneigh_every: int = 10
+    reneigh_check: bool = True    # neigh_modify check yes|no: rebuild at
+                                  # block cadence only when the displacement
+                                  # check demands it (True) or always (False)
     respa_inner: int = 1          # r-RESPA inner loop: bonded forces at the
                                   # fast level, pair at the outer level
                                   # (fix_nve_ucgld.cpp:155-173 + stock Respa)
@@ -186,22 +189,46 @@ class Simulation:
     # ---- one jitted block: reneighbor + nsteps of Verlet ------------------
 
     def _block_impl(self, state: SimState, fcarry: ForceOut, run_window,
-                    nsteps: int):
+                    nsteps: int, nbr=None):
         cfg = self.cfg
-        x_w, image = state.box.wrap(state.x, state.image)
-        state = dataclasses.replace(state, x=x_w, image=image)
-        if cfg.sort_atoms and getattr(self.nbr_spec, "method", None) == "cell":
-            cps = np.asarray(self.nbr_spec.cells_per_side)
-            cid, _ = nbrmod._cell_index(state.x, state.box, cps)
-            order = jnp.argsort(cid, stable=True).astype(jnp.int32)
-            state = state.permute(order)
-            fcarry = dataclasses.replace(
-                fcarry,
-                f=jnp.take(fcarry.f, order, axis=0),
-                ucgforce=jnp.take(fcarry.ucgforce, order, axis=0),
-                scores=jnp.take(fcarry.scores, order, axis=0),
-            )
-        nbr = self._nbr_build(state)
+
+        def rebuild(state, fcarry):
+            # PBC remap happens ONLY together with a rebuild (LAMMPS remaps
+            # at reneighbor): the column list's ghost/z-slot assignments
+            # assume coordinates stay continuous over the list's lifetime —
+            # wrapping mid-life would teleport boundary crossers by ±L
+            # under the kernel path (the XLA path min-images per pair and
+            # would not care)
+            x_w, image = state.box.wrap(state.x, state.image)
+            state = dataclasses.replace(state, x=x_w, image=image)
+            if (cfg.sort_atoms
+                    and getattr(self.nbr_spec, "method", None) == "cell"):
+                cps = np.asarray(self.nbr_spec.cells_per_side)
+                cid, _ = nbrmod._cell_index(state.x, state.box, cps)
+                order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+                state = state.permute(order)
+                fcarry = dataclasses.replace(
+                    fcarry,
+                    f=jnp.take(fcarry.f, order, axis=0),
+                    ucgforce=jnp.take(fcarry.ucgforce, order, axis=0),
+                    scores=jnp.take(fcarry.scores, order, axis=0),
+                )
+            return state, fcarry, self._nbr_build(state)
+
+        if nbr is None or not cfg.reneigh_check:
+            state, fcarry, nbr = rebuild(state, fcarry)
+        else:
+            # LAMMPS `neigh_modify check yes` semantics at block cadence:
+            # the (expensive) rebuild runs only when some atom moved more
+            # than skin/2 since the carried structure was built — all
+            # structures are fixed-shape, so the skip is a jit-safe
+            # lax.cond.  Exposure to within-block drift is identical to the
+            # unconditional-rebuild scheme (both check at block boundaries;
+            # the end-of-block danger flag reports violations either way).
+            need = nbrmod.displacement_check(nbr, state.x, state.box,
+                                             self.nbr_spec.skin)
+            state, fcarry, nbr = jax.lax.cond(
+                need, rebuild, lambda s, f: (s, f, nbr), state, fcarry)
 
         if cfg.respa_inner > 1:
             if self.bonded is None:
@@ -270,7 +297,7 @@ class Simulation:
                 (state, fout), _ = jax.lax.scan(
                     make_body(None), (state, fcarry), None, length=nsteps)
         danger = nbrmod.displacement_check(nbr, state.x, state.box, self.nbr_spec.skin)
-        return state, fout, nbr.overflow, nbr.max_occupancy, danger
+        return state, fout, nbr, nbr.overflow, nbr.max_occupancy, danger
 
     def _nbr_build(self, state: SimState):
         if self._is_column:
@@ -360,10 +387,11 @@ class Simulation:
             if self._fcarry is None:
                 self.setup((begin, end))
             todo = min(cfg.reneigh_every, nsteps - done)
-            state, fout, overflow, maxocc, danger = self._block(
-                self.state, self._fcarry, run_window, nsteps=todo
+            state, fout, nbr, overflow, maxocc, danger = self._block(
+                self.state, self._fcarry, run_window, nsteps=todo,
+                nbr=self._nbr
             )
-            self.state, self._fcarry = state, fout
+            self.state, self._fcarry, self._nbr = state, fout, nbr
             done += todo
             if cfg.check_safety:
                 if bool(overflow):
@@ -393,9 +421,10 @@ class Simulation:
         if run_window is None:
             run_window = (int(self.state.step),
                           int(self.state.step) + nblocks * self.cfg.reneigh_every)
-        state, fout, overflow, maxocc, danger = self._fused(
-            self.state, self._fcarry, jnp.asarray(run_window), nblocks=nblocks)
-        self.state, self._fcarry = state, fout
+        state, fout, nbr, overflow, maxocc, danger = self._fused(
+            self.state, self._fcarry, self._nbr, jnp.asarray(run_window),
+            nblocks=nblocks)
+        self.state, self._fcarry, self._nbr = state, fout, nbr
         if self.cfg.check_safety:
             if bool(overflow):
                 raise RuntimeError(
@@ -407,23 +436,24 @@ class Simulation:
     @property
     def _fused(self):
         if not hasattr(self, "_fused_fn"):
-            def impl(state, fcarry, run_window, nsteps_inner, nblocks):
+            def impl(state, fcarry, nbr, run_window, nsteps_inner, nblocks):
                 def blk(carry, _):
-                    state, fout, ovf, mx, dng = carry
-                    state, fout, o, m, d = self._block_impl(
-                        state, fout, run_window, nsteps_inner)
-                    return (state, fout, ovf | o, jnp.maximum(mx, m),
+                    state, fout, nbr, ovf, mx, dng = carry
+                    state, fout, nbr, o, m, d = self._block_impl(
+                        state, fout, run_window, nsteps_inner, nbr=nbr)
+                    return (state, fout, nbr, ovf | o, jnp.maximum(mx, m),
                             dng + d.astype(jnp.int32)), None
 
-                init = (state, fcarry, jnp.asarray(False),
+                init = (state, fcarry, nbr, jnp.asarray(False),
                         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-                (state, fout, ovf, mx, dng), _ = jax.lax.scan(
+                (state, fout, nbr, ovf, mx, dng), _ = jax.lax.scan(
                     blk, init, None, length=nblocks)
-                return state, fout, ovf, mx, dng
+                return state, fout, nbr, ovf, mx, dng
 
             self._fused_fn = jax.jit(
-                lambda state, fcarry, run_window, nblocks:
-                impl(state, fcarry, run_window, self.cfg.reneigh_every, nblocks),
+                lambda state, fcarry, nbr, run_window, nblocks:
+                impl(state, fcarry, nbr, run_window, self.cfg.reneigh_every,
+                     nblocks),
                 static_argnames=("nblocks",))
         return self._fused_fn
 

@@ -230,3 +230,27 @@ def test_sharded_cluster_switch_matches_single_device():
                                   np.asarray(sim1.state.typ))
     np.testing.assert_allclose(np.asarray(sim2.cswitch_stats.v),
                                np.asarray(sim1.cswitch_stats.v), atol=0)
+
+
+def test_conditional_reneigh_matches_always_rebuild(rng):
+    """neigh_modify check yes (skip rebuilds while no atom moved > skin/2)
+    must reproduce the always-rebuild trajectory: both candidate lists are
+    supersets of the in-cutoff pairs, and PBC remap rides the rebuild."""
+    sim1 = _build_sim(np.random.default_rng(21), n=128, L=9.0)
+    sim2 = _build_sim(np.random.default_rng(21), n=128, L=9.0)
+    sim2.cfg = dataclasses.replace(sim2.cfg, reneigh_check=False)
+    sim1.run(60)
+    sim2.run(60)
+    # positions agree modulo the box (PBC remap timing differs: the
+    # conditional path wraps only at rebuilds)
+    dx = np.asarray(sim1.state.box.min_image(sim1.state.x - sim2.state.x))
+    assert np.abs(dx).max() < 1e-9
+    for name in ("v", "ucgl", "ucgp"):
+        np.testing.assert_allclose(np.asarray(getattr(sim1.state, name)),
+                                   np.asarray(getattr(sim2.state, name)),
+                                   atol=1e-9, err_msg=name)
+    # the conditional path must also hold under the fused multi-block driver
+    sim3 = _build_sim(np.random.default_rng(21), n=128, L=9.0)
+    sim3.run_fused(12, run_window=(0, 60))
+    np.testing.assert_allclose(np.asarray(sim3.state.x),
+                               np.asarray(sim1.state.x), atol=1e-9)
