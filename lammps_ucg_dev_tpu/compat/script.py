@@ -644,8 +644,21 @@ class ScriptRunner:
                     pair_params = dataclasses.replace(pair_params, chunk=c)
                     break
         L = np.asarray(self.state.box.lengths)
-        spec = nbrmod.make_spec(n, L, cutoff, self.skin,
-                                method=self.neighbor_method)
+        bparams, excl = self._build_bonded(n)
+        spec = None
+        if bparams is None and excl is None and self.cswitch is None:
+            # production fused-kernel path on TPU (ops/kernel_select.py);
+            # decks need no opt-in — the XLA path remains the fallback
+            from lammps_ucg_dev_tpu.ops.kernel_select import select_pair_kernel
+
+            sel = select_pair_kernel(pair_params, self.state, cutoff,
+                                     self.skin)
+            if sel is not None:
+                pair_compute, spec, pair_params = sel
+                self.log("pair path: fused Pallas column kernel")
+        if spec is None:
+            spec = nbrmod.make_spec(n, L, cutoff, self.skin,
+                                    method=self.neighbor_method)
         dt = self.dt if self.dt is not None else u.dt_default
         cfg = SimConfig(
             dt=dt, units=self.units, integrator=self.integrator,
@@ -655,7 +668,6 @@ class ScriptRunner:
             respa_inner=self.respa_inner)
         system = System(n_atoms=n, ntypes=self.system.ntypes,
                         masses=self._masses(), units=self.units)
-        bparams, excl = self._build_bonded(n)
         self.sim = Simulation(system, self.state, pair_compute, pair_params,
                               spec, cfg, cluster_switch=self.cswitch,
                               log_dir=self.workdir if self.cswitch else None,

@@ -65,6 +65,8 @@ class BetheParams:
     pseudo: bool = True        # pseudolikelihood vs full-SCE scores
     prior_mode: str = "ucgl"   # "ucgl" | "chemical_potential" | "chemical_potential_noise"
     chunk: int = 0             # row-chunk size for the pair loop (0 = unchunked)
+    cheb: "object | None" = None   # ChebBank for the fused Pallas kernel
+                                   # path (ops/pallas_pair.py); None = XLA
 
 
 def make_params(bank: TableBank, tp: UCGTypeParams, kT: float,

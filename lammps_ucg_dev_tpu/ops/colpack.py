@@ -447,12 +447,14 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
 
 
 def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
-         ucgstate: jax.Array, dtype=jnp.float32):
+         ucgstate: jax.Array, dtype=jnp.float32, aux: "jax.Array | None" = None):
     """Per-step attribute packing (positions/λ/state change every step; the
     slot mapping and pages persist for the reneighbor block).
 
     Returns (ipack, pages):
-      ipack (ncol*cz, 8)  real slots, rows = [x y z λ state valid 0 0]
+      ipack (ncol*cz, 8)  real slots, rows = [x y z λ state valid aux 0]
+            (``aux`` carries a second per-atom scalar when the i-role and
+            j-role read different fields — e.g. the Bethe kernel's i-prior)
       pages (npage, ncol, 8, W) overlapped z-pages of the extended slots,
             attribute-major: page k of column c covers slots [k*S, k*S+W),
             so each kernel window is pages[page, col] — one aligned tile
@@ -463,7 +465,9 @@ def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
         lam.astype(dtype)[:, None],
         ucgstate.astype(dtype)[:, None],
         jnp.ones((n, 1), dtype),
-        jnp.zeros((n, 2), dtype),
+        (jnp.zeros((n, 1), dtype) if aux is None
+         else aux.astype(dtype)[:, None]),
+        jnp.zeros((n, 1), dtype),
     ], axis=1)
     # pad row: positions poisoned far outside the box so pad slots fail the
     # rsq < cutsq test geometrically (valid flag stays 0 as a belt-and-

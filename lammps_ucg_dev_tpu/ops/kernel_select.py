@@ -1,0 +1,81 @@
+"""Auto-selection of the fused Pallas pair path.
+
+One place that decides, for a given pair style + system, whether the
+column-kernel production path applies (ops/pallas_pair.py + ops/colpack.py)
+— used by both the driver entry (__graft_entry__) and the input-script
+layer, so reference decks get the fused kernel on TPU without opting in.
+
+Eligibility (all must hold; anything else falls back to the XLA pair path,
+which is the general implementation and correctness oracle):
+
+* TPU backend, single device (the multi-chip paths shard the XLA pair
+  formulation; a sharded kernel path is future work)
+* float32 state (the kernel computes in f32)
+* style support (``pallas_pair.supports``: table_ucgld, one actual type,
+  2 states, uniform LINEAR tables)
+* orthogonal box, large enough for the 3x3 column stencil
+* Chebyshev fit of the table bank within ``rel_tol``
+* no bonded terms / special exclusions / cluster_switch (they need the
+  atom-neighbor-list path)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def select_pair_kernel(params, state, cutoff: float, skin: float,
+                       rel_tol: float = 1e-4, force: "bool | None" = None):
+    """Returns (pair_fn, spec, params) for the fused path, or None.
+
+    ``force=True`` skips the backend/device checks (tests); ``force=False``
+    disables selection outright.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lammps_ucg_dev_tpu.models.pair_bethe import BetheParams
+    from lammps_ucg_dev_tpu.models.pair_ucgld import UCGLDParams
+
+    if force is False:
+        return None
+    if not isinstance(params, (UCGLDParams, BetheParams)):
+        return None
+    if state.x.dtype != jnp.float32:
+        return None
+    if force is None:
+        try:
+            if (jax.devices()[0].platform != "tpu"
+                    or jax.device_count() != 1):
+                return None
+        except Exception:
+            return None
+    if getattr(state.box, "is_triclinic", False):
+        return None
+
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+    n = state.x.shape[0]
+    if isinstance(params, UCGLDParams):
+        if not pk.supports(params, n):
+            return None
+        style_fn = pk.compute_style
+    else:
+        if not pk.supports_bethe(params, n):
+            return None
+        style_fn = pk.compute_style_bethe
+    L = np.asarray(state.box.lengths, np.float64)
+    lo = np.asarray(state.box.lo, np.float64)
+    try:
+        spec = colpack.measure_spec(
+            np.mod(np.asarray(state.x, np.float64) - lo, L), L, cutoff, skin)
+    except ValueError:
+        return None
+    cheb = chebtab.fit_bank(params.bank)
+    if float(np.max(np.asarray(cheb.max_rel_err))) >= rel_tol:
+        return None
+    import dataclasses
+
+    return (style_fn, spec,
+            dataclasses.replace(params, cheb=cheb, chunk=0))

@@ -54,11 +54,19 @@ def supports(params: UCGLDParams, n_atoms: int) -> bool:
     )
 
 
-def _kernel(ce, degree, G, gpc, czp, gz, S, observe,
-            scal_ref, meta_ref, ipack_ref, pages_ref, *refs):
+def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, *refs0):
     """One program: G i-clusters vs 9 DMA'd stencil-column windows.
 
-    scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, dom_lo, dom_hi, ., .]
+    ``style`` selects the per-candidate physics on the shared window/DMA
+    scaffolding: "ucgld" = λ-mixed table_ucgld (λ-forces + pseudolikelihood
+    scores); "bethe" = table_ucg_bethe with the closed-form two-point
+    distribution (pair_table_ucg_bethe.cpp:544-604) — ipack attr 6 carries
+    the i-role prior pi1 (from ucgl), window attr 3 the j-role prior pj1
+    (from ucgp), and scal slot 6 carries kT.  ``mf`` selects the mean-field
+    p11 = pi1·pj1 ("method mf").
+
+    scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, dom_lo, dom_hi,
+             kT, .]
     meta_ref (SMEM, (8,32) i32): rows [9 stencil cols, 9 page ids,
              9 encoded xy image shifts, pad]
     ipack_ref (G*8, 8): own real slots [x y z λ state valid 0 0]
@@ -71,6 +79,7 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe,
              full-kernel evaluation at block ends)
     jwin     (NSTEN, 8, W) VMEM scratch; sems (NSTEN,) DMA semaphores
     """
+    scal_ref, meta_ref, ipack_ref, pages_ref, *refs = refs0
     if observe:
         out_ref, out2_ref, jwin, sems = refs
     else:
@@ -181,23 +190,64 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe,
                 tm2, tm1 = tm1, tk
             e00, e01, e10, e11, f00, f01, f10, f11 = acc
 
-            mi = 1.0 - li
-            mj = 1.0 - lj
-            w00 = mi * mj
-            w01 = mi * lj
-            w10 = li * mj
-            w11 = li * lj
             zero = jnp.zeros_like(u)
-            fmix = jnp.where(
-                mask, w00 * f00 + w01 * f01 + w10 * f10 + w11 * f11, zero)
+            if style == "ucgld":
+                mi = 1.0 - li
+                mj = 1.0 - lj
+                w00 = mi * mj
+                w01 = mi * lj
+                w10 = li * mj
+                w11 = li * lj
+                fmix = jnp.where(
+                    mask, w00 * f00 + w01 * f01 + w10 * f10 + w11 * f11,
+                    zero)
+                if observe:
+                    emix = jnp.where(
+                        mask, w00 * e00 + w01 * e01 + w10 * e10 + w11 * e11,
+                        zero)
+                # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00))
+                lamf = lamf - jnp.where(
+                    mask, lj * (e11 - e01) + mj * (e10 - e00), zero)
+            else:  # bethe: closed-form two-point distribution (:544-581)
+                pi1 = ipack_ref[sl, 6:7]       # i-role prior (from ucgl)
+                pj1 = jnp.where(mask, lj, zero)  # j-role prior (from ucgp)
+                pipj = pi1 * pj1
+                if mf:
+                    p11 = pipj
+                else:
+                    kT = scal_ref[0, 6]
+                    J = e11 + e00 - e01 - e10
+                    # overflow guard: the reference clamps at -700 kT
+                    # (f64, :545-548); in f32 the closed form's Q² term
+                    # overflows past e^44, so clamp at 40 — beyond it p11
+                    # is saturated to the aligned limit within ~e-40 anyway
+                    xk = jnp.minimum(-J / kT, 40.0)
+                    bb = jnp.exp(xk)
+                    aa = bb - 1.0                      # expm1: the |a|<eps
+                    # mean-field fallback below covers the cancellation zone
+                    Q = (pi1 + pj1) * aa + 1.0
+                    D = jnp.maximum(Q * Q - 4.0 * aa * bb * pipj, 0.0)
+                    sqD = jnp.sqrt(D)
+                    small = jnp.abs(aa) < 1e-5
+                    root_pos = 2.0 * bb * pipj / (Q + sqD)
+                    root_neg = (Q - sqD) / (2.0 * jnp.where(small, 1.0, aa))
+                    p11 = jnp.where(Q < 0.0, root_neg, root_pos)
+                    p11 = jnp.where(small, pipj, p11)
+                p00 = jnp.where(mask, 1.0 + p11 - pi1 - pj1, zero)
+                p10 = pi1 - p11
+                p01 = pj1 - p11
+                fmix = jnp.where(
+                    mask,
+                    p00 * f00 + p01 * f01 + p10 * f10 + p11 * f11, zero)
+                if observe:
+                    emix = jnp.where(
+                        mask,
+                        p00 * e00 + p01 * e01 + p10 * e10 + p11 * e11, zero)
 
             fx = fx + fmix * dx
             fy = fy + fmix * dy
             fz = fz + fmix * dz
             if observe:
-                emix = jnp.where(
-                    mask, w00 * e00 + w01 * e01 + w10 * e10 + w11 * e11,
-                    zero)
                 pe = pe + emix
                 vir[0] = vir[0] + fmix * dx * dx
                 vir[1] = vir[1] + fmix * dy * dy
@@ -206,9 +256,6 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe,
                 vir[4] = vir[4] + fmix * dx * dz
                 vir[5] = vir[5] + fmix * dy * dz
 
-            # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00))
-            lamf = lamf - jnp.where(
-                mask, lj * (e11 - e01) + mj * (e10 - e00), zero)
             # pseudolikelihood scores at the partner's discrete state
             sj1 = sj > 0.5
             s0 = s0 - jnp.where(mask, jnp.where(sj1, e01, e00), zero)
@@ -236,6 +283,51 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe,
         out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
 
 
+def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
+                observe: bool, style: str, mf: bool, interpret: bool):
+    """Shared pallas_call scaffolding for every kernel style."""
+    dtype = jnp.float32
+    G, gs, gpc = cl.G, cl.gs, cl.cz // cl.gs
+    n_prog = cl.n_prog
+    ce = [[float(c) for c in row]
+          for row in np.asarray(cheb.coeffs, np.float64)]
+    kern = functools.partial(_kernel, ce, cheb.degree, G, gpc, cl.czp, cl.gz,
+                             cl.S, observe, style, mf)
+
+    meta = cl.meta
+    if meta.shape[0] % 8:
+        meta = jnp.pad(meta, ((0, -meta.shape[0] % 8), (0, 0)))
+
+    out_specs = [
+        pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((cl.n_slots, 8), dtype)]
+    if observe:
+        out_specs.append(
+            pl.BlockSpec((8, 8), lambda p: (p, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_prog * 8, 8), dtype))
+
+    return pl.pallas_call(
+        kern,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 32), lambda p: (p // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            # pages stay in HBM; window DMAs slice only the untiled leading
+            # dims (page id, padded column), never the (8, W) tile
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((NSTEN, 8, W), dtype),
+            pltpu.SemaphoreType.DMA((NSTEN,)),
+        ],
+        interpret=interpret,
+    )(scal, meta, ipack, pages)
+
+
 def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
             cheb: ChebBank, interpret: bool = False,
             observe: bool = True) -> ForceOut:
@@ -260,45 +352,8 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
         jnp.zeros((), dtype), jnp.zeros((), dtype),
     ])[None, :]
 
-    G, gs, gpc = cl.G, cl.gs, cl.cz // cl.gs
-    n_prog = cl.n_prog
-    ce = [[float(c) for c in row]
-          for row in np.asarray(cheb.coeffs, np.float64)]
-    kern = functools.partial(_kernel, ce, cheb.degree, G, gpc, cl.czp, cl.gz,
-                             cl.S, observe)
-
-    meta = cl.meta
-    if meta.shape[0] % 8:
-        meta = jnp.pad(meta, ((0, -meta.shape[0] % 8), (0, 0)))
-
-    out_specs = [
-        pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((cl.n_slots, 8), dtype)]
-    if observe:
-        out_specs.append(
-            pl.BlockSpec((8, 8), lambda p: (p, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((n_prog * 8, 8), dtype))
-
-    outs = pl.pallas_call(
-        kern,
-        grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda p: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, 32), lambda p: (p // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            # pages stay in HBM; window DMAs slice only the untiled leading
-            # dims (page id, padded column), never the (8, W) tile
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((NSTEN, 8, W), dtype),
-            pltpu.SemaphoreType.DMA((NSTEN,)),
-        ],
-        interpret=interpret,
-    )(scal, meta, ipack, pages)
+    outs = _run_kernel(cl, scal, ipack, pages, cheb, observe,
+                       style="ucgld", mf=False, interpret=interpret)
     out = outs[0]
 
     out_at = jnp.take(out, cl.atom_slot, axis=0)               # (N, 8)
@@ -347,6 +402,95 @@ def compute_style_fast(state: SimState, cl: colpack.ColumnList,
 
 
 compute_style.fast_variant = compute_style_fast
+
+
+def supports_bethe(params, n_atoms: int) -> bool:
+    """Static eligibility of the fused Bethe kernel: same geometry scope as
+    table_ucgld, plus pseudolikelihood scores only (full-SCE stays on the
+    XLA path)."""
+    from lammps_ucg_dev_tpu.models.pair_bethe import BetheParams
+
+    if not isinstance(params, BetheParams):
+        return False
+    tp = params.tp
+    ntypes = tp.cutsq.shape[0] - 1
+    return (
+        bool(params.bank.uniform)
+        and params.bank.n_tables == 4
+        and ntypes == 1
+        and int(np.asarray(tp.n_states)[1]) == 2
+        and params.pseudo
+    )
+
+
+def compute_bethe(state: SimState, cl: colpack.ColumnList, params,
+                  cheb: ChebBank, interpret: bool = False,
+                  observe: bool = True) -> ForceOut:
+    """Fused ``table_ucg_bethe`` evaluation: closed-form Bethe pij per
+    candidate (pair_table_ucg_bethe.cpp:544-604) on the column-window
+    scaffolding.  Priors are computed host-side exactly like the XLA path
+    (models/pair_bethe._priors): ipack aux = pi1 (i-role, from ucgl),
+    window attr 3 = pj1 (j-role, from ucgp)."""
+    from lammps_ucg_dev_tpu.models import pair_bethe
+
+    tp = params.tp
+    dtype = jnp.float32
+
+    pi1, pj1 = pair_bethe._priors(state, params)
+    ipack, pages = colpack.pack(cl, state.box, state.x, pj1,
+                                state.ucgstate, dtype=dtype, aux=pi1)
+    L = state.box.lengths.astype(dtype)
+    kT = params.kT.astype(dtype)
+    scal = jnp.stack([
+        L[0], L[1],
+        tp.cutsq[1, 1].astype(dtype),
+        params.bank.innersq[0].astype(dtype),
+        cheb.lo.astype(dtype), cheb.hi.astype(dtype),
+        kT, jnp.zeros((), dtype),
+    ])[None, :]
+
+    outs = _run_kernel(cl, scal, ipack, pages, cheb, observe,
+                       style="bethe", mf=params.method == "mf",
+                       interpret=interpret)
+    out_at = jnp.take(outs[0], cl.atom_slot, axis=0)           # (N, 8)
+    f = out_at[:, 0:3]
+    is_ucg = tp.n_states[state.typ] > 1
+    # chemical-potential score initialization (:155-162)
+    scores = out_at[:, 4:6] / kT - tp.mu[tp.formal[state.typ]] / kT
+    scores = jnp.where(is_ucg[:, None], scores, 0.0)
+
+    if observe:
+        totals = jnp.sum(outs[1][::8], axis=0)
+        pe = 0.5 * totals[0]
+        virial = 0.5 * totals[1:7]
+        oob_low = totals[7].astype(jnp.int32)
+    else:
+        pe = jnp.zeros((), dtype)
+        virial = jnp.zeros((6,), dtype)
+        oob_low = jnp.zeros((), jnp.int32)
+    return ForceOut(
+        f=f,
+        ucgforce=jnp.zeros_like(pi1),
+        scores=scores,
+        pe=pe,
+        virial=virial,
+        oob_low=oob_low,
+        oob_high=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_style_bethe(state: SimState, cl: colpack.ColumnList,
+                        params) -> ForceOut:
+    """Simulation-compatible pair_compute for the fused Bethe kernel."""
+    return compute_bethe(state, cl, params, params.cheb)
+
+
+def compute_style_bethe_fast(state: SimState, cl: colpack.ColumnList,
+                             params) -> ForceOut:
+    return compute_bethe(state, cl, params, params.cheb, observe=False)
+
+
+compute_style_bethe.fast_variant = compute_style_bethe_fast
 
 
 def make_compute(params: UCGLDParams, cheb: ChebBank, interpret: bool = False):

@@ -4,6 +4,7 @@ A/B'd against the XLA path in the benchmark)."""
 
 import jax.numpy as jnp
 import numpy as np
+from dataclasses import replace as dataclasses_replace
 
 import helpers
 from lammps_ucg_dev_tpu.core.state import Box, SimState
@@ -56,4 +57,50 @@ def test_kernel_matches_xla(rng):
                                np.asarray(out_k.ucgforce), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_f.scores),
                                np.asarray(out_k.scores), atol=1e-5)
+    assert float(out_f.pe) == 0.0
+
+
+def test_bethe_kernel_matches_xla(rng):
+    """Fused Bethe kernel (closed-form pij per candidate) vs the XLA
+    table_ucg_bethe path on identical candidate sets."""
+    from lammps_ucg_dev_tpu.models import pair_bethe
+
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    ucgp = rng.uniform(0.1, 0.9, n)
+    state = SimState.create(
+        x=x, typ=np.ones(n, np.int32), ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n), ucgp=ucgp,
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+
+    params = pair_bethe.make_params(bank, tp, kT=0.8, dtype=jnp.float32)
+    assert pk.supports_bethe(params, n)
+    cheb = chebtab.fit_bank(bank)
+
+    out_k = pk.compute_bethe(state, cl, params, cheb, interpret=True)
+    out_x = pair_bethe.compute(state, colpack.as_neighbor_list(cl, n), params)
+
+    scale = float(np.abs(np.asarray(out_x.f)).max())
+    np.testing.assert_allclose(np.asarray(out_k.f), np.asarray(out_x.f),
+                               atol=5e-5 * scale)
+    np.testing.assert_allclose(float(out_k.pe), float(out_x.pe), rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_k.scores),
+                               np.asarray(out_x.scores), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_k.virial),
+                               np.asarray(out_x.virial), rtol=3e-5, atol=1e-2)
+
+    # mf method and the fast variant
+    params_mf = dataclasses_replace(params, method="mf")
+    out_kmf = pk.compute_bethe(state, cl, params_mf, cheb, interpret=True)
+    out_xmf = pair_bethe.compute(state, colpack.as_neighbor_list(cl, n),
+                                 params_mf)
+    np.testing.assert_allclose(np.asarray(out_kmf.f), np.asarray(out_xmf.f),
+                               atol=5e-5 * scale)
+    out_f = pk.compute_bethe(state, cl, params, cheb, interpret=True,
+                             observe=False)
+    np.testing.assert_allclose(np.asarray(out_f.f), np.asarray(out_k.f),
+                               atol=1e-5 * scale)
     assert float(out_f.pe) == 0.0
