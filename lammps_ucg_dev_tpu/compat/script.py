@@ -213,8 +213,10 @@ class ScriptRunner:
             vals = []
             for t in toks:
                 if ":" in t:
-                    lo, hi = t.split(":")[:2]
-                    vals.extend(range(int(lo), int(hi) + 1))
+                    parts = t.split(":")
+                    lo, hi = int(parts[0]), int(parts[1])
+                    stride = int(parts[2]) if len(parts) > 2 else 1
+                    vals.extend(range(lo, hi + 1, stride))
                 else:
                     vals.append(int(t))
             return np.asarray(vals, np.int64)
@@ -228,6 +230,8 @@ class ScriptRunner:
         # storage order is tag order at read_data time -> per-tag mask
         mask = np.zeros(n, bool)
         mask[np.asarray(self.state.tag) - 1] = member
+        if name in self.groups:
+            mask = self.groups[name] | mask   # LAMMPS groups are additive
         self.groups[name] = mask
 
     def _cmd_read_data(self, a):
@@ -251,10 +255,13 @@ class ScriptRunner:
                              masses=df.masses.copy(), units=self.units)
 
     def _cmd_read_restart(self, a):
-        self.state, extra = rst.read_restart(self._path(a[0]), dtype=self.dtype)
+        self.state, extra, settings = rst.read_restart_all(
+            self._path(a[0]), dtype=self.dtype)
         n = self.state.n_atoms
         ntypes = int(np.asarray(self.state.typ).max())
-        settings = rst.read_restart_settings(self._path(a[0]))
+        if self.state.box.tilt is not None:
+            # triclinic continuation: only the all-pairs path handles tilt
+            self.neighbor_method = "nsq"
         if "units" in settings and settings["units"] != self.units:
             raise ValueError(
                 f"restart was written with units {settings['units']!r}, "
@@ -332,6 +339,10 @@ class ScriptRunner:
             raise ValueError("only 2-level respa (bond inner, pair outer) "
                              "is supported")
         self.respa_inner = int(a[2])
+        if self.respa_inner < 1:
+            raise ValueError("respa inner loop count must be >= 1 "
+                             "(1 == plain Verlet with bonded folded into "
+                             "the pair pass)")
         kw = a[3:]
         for i in range(0, len(kw) - 1, 2):
             k, lvl = kw[i], int(kw[i + 1])

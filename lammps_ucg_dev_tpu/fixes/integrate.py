@@ -99,9 +99,10 @@ def respa_outer_initial(state: SimState, f: jax.Array, ucgforce: jax.Array,
     (fix_nve_ucgld.cpp:155-165).  Drifts happen at the innermost level."""
     if cfg.kind == "none":
         return state
+    g = group_mask(cfg, state)
     dtf = 0.5 * dt * ftm2v
-    v = state.v + (dtf / mass)[:, None] * f
-    vl = state.ucgvl + dtf / state.ucgml * ucgforce
+    v = _sel(g, state.v + (dtf / mass)[:, None] * f, state.v)
+    vl = _sel(g, state.ucgvl + dtf / state.ucgml * ucgforce, state.ucgvl)
     return dataclasses.replace(state, v=v, ucgvl=vl)
 
 
@@ -110,19 +111,22 @@ def respa_inner_step(state: SimState, fbond: jax.Array, mass: jax.Array,
                      bonded_eval) -> tuple[SimState, jax.Array]:
     """One inner r-RESPA step: half-kick with the fast (bonded) force, drift
     (x, λ), re-evaluate the fast force, half-kick again.  Matches LAMMPS
-    Respa with ``bond`` at level 0 and ``pair`` at the top level."""
+    Respa with ``bond`` at level 0 and ``pair`` at the top level.  Honors
+    the fix's group mask (mask[i] & groupbit) like the Verlet path."""
     if cfg.kind == "none":
         return state, fbond
+    g = group_mask(cfg, state)
     dtf = 0.5 * dt_inner * ftm2v
-    v = state.v + (dtf / mass)[:, None] * fbond
-    x = state.x + dt_inner * v
-    lam = state.ucgl + dt_inner * state.ucgvl
+    v = _sel(g, state.v + (dtf / mass)[:, None] * fbond, state.v)
+    x = _sel(g, state.x + dt_inner * v, state.x)
+    lam = _sel(g, state.ucgl + dt_inner * state.ucgvl, state.ucgl)
     ucgstate = state.ucgstate
     if cfg.wall:
-        ucgstate = jnp.where(lam < 0.5, 0, 1).astype(ucgstate.dtype)
+        new_state = jnp.where(lam < 0.5, 0, 1).astype(ucgstate.dtype)
+        ucgstate = _sel(g, new_state, ucgstate)
     state = dataclasses.replace(state, x=x, v=v, ucgl=lam, ucgstate=ucgstate)
     fbond = bonded_eval(state)
-    v = state.v + (dtf / mass)[:, None] * fbond
+    v = _sel(g, state.v + (dtf / mass)[:, None] * fbond, state.v)
     return dataclasses.replace(state, v=v), fbond
 
 

@@ -63,6 +63,14 @@ def write_restart(path: str, state: SimState, extra: dict | None = None,
 
 def read_restart(path: str, dtype=jnp.float32):
     """Returns (SimState, extra_dict)."""
+    state, extra, _ = read_restart_all(path, dtype)
+    return state, extra
+
+
+def read_restart_all(path: str, dtype=jnp.float32):
+    """Returns (SimState, extra_dict, settings_dict) from ONE archive read
+    (large restarts decompress the full per-atom state; loading twice to
+    split state from settings would double that cost)."""
     z = np.load(path, allow_pickle=False)
     if int(z["version"]) != _VERSION:
         raise ValueError(f"unsupported restart version {int(z['version'])}")
@@ -94,14 +102,17 @@ def read_restart(path: str, dtype=jnp.float32):
         box=box,
     )
     extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
-    return state, extra
+    return state, extra, _settings_from(z)
 
 
 def read_restart_settings(path: str) -> dict:
     """The ``settings`` dict stored by :func:`write_restart` (empty for
     restarts written before settings persistence).  String-valued settings
     come back as Python str, 0-d numerics as Python scalars."""
-    z = np.load(path, allow_pickle=False)
+    return _settings_from(np.load(path, allow_pickle=False))
+
+
+def _settings_from(z) -> dict:
     out = {}
     for k in z.files:
         if not k.startswith("setting_"):

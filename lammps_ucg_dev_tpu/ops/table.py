@@ -259,12 +259,15 @@ def _build_bitmap(tb: RawTable, ntablebits: int, cut: float) -> BuiltTable:
     edge = float(np.array(f_edge, np.int64).astype(np.uint32)
                  .view(np.float32))
     if edge < cut * cut:
-        rc = np.sqrt(np.float32(cut * cut).astype(np.float64))
+        # the reference narrows cut² through the float union (rsq_lookup.f)
+        # before both the spline query and the drsq denominator (:1335-1341)
+        cutsq32 = float(np.float32(cut * cut))
+        rc = np.sqrt(cutsq32)
         e_tmp = float(splint(tb.r, tb.e, e2file, np.asarray([rc]))[0])
         f_tmp = float(splint(tb.r, tb.f, f2file, np.asarray([rc]))[0] / rc)
         de[itablemax] = e_tmp - e[itablemax]
         df[itablemax] = f_tmp - f[itablemax]
-        drsq[itablemax] = 1.0 / (cut * cut - rsq_t[itablemax])
+        drsq[itablemax] = 1.0 / (cutsq32 - rsq_t[itablemax])
 
     return BuiltTable(cut, innersq, 0.0, 0.0, 0.0, e, f, de, df,
                       rsq=rsq_t, drsq=drsq, nmask=nmask,
@@ -392,15 +395,20 @@ class TableBank:
 
         if self.style == BITMAP:
             # float32-bit binning (pair_table_ucgld.cpp:252-258): mask the
-            # bit pattern, shift to the index, linear-interpolate against the
-            # per-bin lower-edge rsq.  rsq > 0 so the sign bit never flows
-            # into the arithmetic shift.
-            bits = jax.lax.bitcast_convert_type(
-                rsq.astype(jnp.float32), jnp.int32)
+            # bit pattern, shift to the index, linear-interpolate against
+            # the per-bin lower-edge rsq.  The lookup value is the f32-
+            # narrowed rsq, matching the reference's union_int_float_t
+            # (rsq_lookup.f) in BOTH the index and the fraction.  Below the
+            # inner cutoff the masked-bit index would alias periodically to
+            # a mid-table bin (the reference error->one's there); clamp the
+            # lookup to innersq so the repulsive edge extrapolates like the
+            # LINEAR path — the oob_low flag still reports the violation.
+            rs32 = jnp.maximum(rsq, inn).astype(jnp.float32)
+            bits = jax.lax.bitcast_convert_type(rs32, jnp.int32)
             it = jax.lax.shift_right_logical(
                 bits & self.nmask[t], self.nshiftbits[t])
             v = jnp.take(self.packed, t * L + it, axis=0)
-            frac = (rsq - v[..., 4]) * v[..., 5]
+            frac = (rs32.astype(rsq.dtype) - v[..., 4]) * v[..., 5]
             e = v[..., 0] + frac * v[..., 1]
             fp = v[..., 2] + frac * v[..., 3]
             return e, fp, rsq < inn, jnp.zeros_like(rsq, bool)

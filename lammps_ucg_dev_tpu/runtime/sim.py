@@ -495,23 +495,33 @@ class Simulation:
                 mass = self._masses_by_type[state.typ]
                 ke = 0.5 * jnp.sum(mass * jnp.sum(state.v**2, axis=-1)) * u.mvv2e
                 pe = fout.pe
+                virial = fout.virial
                 if self.bonded is not None and self.cfg.respa_inner > 1:
-                    # under r-RESPA the pair pass doesn't fold bonded terms in
+                    # under r-RESPA the pair pass doesn't fold bonded terms
+                    # in — add both their energy AND their virial here
                     from lammps_ucg_dev_tpu.models import bonded as bd
 
-                    pe = pe + bd.compute(state, self.bonded)[1]
+                    _, bpe, bvir = bd.compute(state, self.bonded)
+                    pe = pe + bpe
+                    virial = virial + bvir
                 if (self.cfg.integrator.wall
                         and self.cfg.integrator.bias_potential):
-                    pe_bias = jnp.sum(jnp.where(
+                    bias_e = jnp.where(
                         self._is_ucg(state),
                         fi.bias_energy(state.ucgl,
-                                       self.cfg.integrator.barrier), 0.0))
+                                       self.cfg.integrator.barrier), 0.0)
+                    g = fi.group_mask(self.cfg.integrator, state)
+                    if g is not None:
+                        # the bias force is group-masked; its energy tally
+                        # must be too (reference fix group semantics)
+                        bias_e = jnp.where(g, bias_e, 0.0)
+                    pe_bias = jnp.sum(bias_e)
                 else:
                     pe_bias = jnp.zeros_like(pe)
                 ke_lambda = (0.5 * jnp.sum(state.ucgml * state.ucgvl**2)
                              * u.mvv2e)
                 vol = jnp.prod(state.box.lengths)
-                virial_tr = fout.virial[0] + fout.virial[1] + fout.virial[2]
+                virial_tr = virial[0] + virial[1] + virial[2]
                 lam_t = fl.lambda_temperature(state, u)
                 dt = jnp.result_type(ke, pe)
                 vec = jnp.stack([jnp.asarray(v, dt) for v in (

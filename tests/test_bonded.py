@@ -302,3 +302,59 @@ def test_fix_group_masks(tmp_path):
                           log_callback=lambda m: None)
         rr.run_string("\n".join(deck.splitlines()[:-2]
                                 + ["fix 9 nosuch nve/ucgld"]))
+
+
+def test_respa_honors_group_masks(tmp_path):
+    """r-RESPA paths must honor the fix group like the Verlet path (review
+    finding: respa_outer/inner previously integrated ALL atoms)."""
+    from make_deck import write_molecular_switch_deck
+
+    from lammps_ucg_dev_tpu.compat.script import ScriptRunner
+
+    write_molecular_switch_deck(str(tmp_path), nmol=27, nsteps=10)
+    deck = "\n".join([
+        "units lj", "atom_style ucg", "read_data system.data",
+        "pair_style table_ucgld linear 1200 mol.settings",
+        "pair_coeff 1 1 1 1 mol.table T11 2.5",
+        "pair_coeff 1 2 1 1 mol.table T12 2.5",
+        "pair_coeff 2 2 1 1 mol.table T22 2.5",
+        "bond_style harmonic", "bond_coeff 1 50.0 0.9",
+        "angle_style harmonic", "angle_coeff 1 10.0 180.0",
+        "run_style respa 2 4 bond 1 pair 2",
+        "neighbor 0.4 bin", "neigh_modify every 5",
+        "timestep 0.002",
+        "group mobile type 1",
+        "velocity all create 0.8 7",
+        "fix 1 mobile nve/ucgld",
+    ])
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(deck)
+    x0 = np.asarray(r.state.x).copy()
+    typ = np.asarray(r.state.typ)
+    r.command("run 20")
+    moved = np.linalg.norm(np.asarray(r.sim.state.x) - x0, axis=1)
+    assert np.all(moved[typ == 2] == 0.0), "non-group atoms must stay frozen"
+    assert np.mean(moved[typ == 1] > 0) > 0.9
+
+    with pytest.raises(ValueError, match="inner loop"):
+        rr = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                          log_callback=lambda m: None)
+        rr.run_string("run_style respa 2 0 bond 1 pair 2")
+
+
+def test_group_union_and_stride(tmp_path):
+    """Repeated group commands accumulate (LAMMPS additive semantics) and
+    i:j:stride ranges honor the stride."""
+    from make_deck import write_molecular_switch_deck
+
+    from lammps_ucg_dev_tpu.compat.script import ScriptRunner
+
+    write_molecular_switch_deck(str(tmp_path), nmol=27, nsteps=10)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string("units lj\natom_style ucg\nread_data system.data\n"
+                 "group odd id 1:9:2\n")
+    assert r.groups["odd"].sum() == 5          # ids 1,3,5,7,9
+    r.command("group odd id 2:4")
+    assert r.groups["odd"].sum() == 5 + 3 - 1  # union adds 2,4 (3 in both)

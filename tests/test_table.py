@@ -187,3 +187,22 @@ def test_pair_single_mixed_matches_lambda_mix():
     e_ref = sum(wk * helpers.soft_pair(r, eps=ek, rc=rc)[0]
                 for wk, ek in zip(w, eps))
     np.testing.assert_allclose(np.asarray(emix), e_ref, atol=5e-4, rtol=5e-4)
+
+
+def test_bitmap_below_inner_cutoff_clamps_to_edge():
+    """rsq below the table inner cutoff must extrapolate from the repulsive
+    edge (like LINEAR's bin-0 clamp), not alias through the periodic
+    masked-bit index to a mid-table bin (review finding; the reference
+    error->one's here, pair_table single()/compute BITMAP branches)."""
+    raw = make_raw()
+    built = tbl.build_table(raw, tbl.BITMAP, 10, cut=3.0)
+    bank = tbl.TableBank.from_built([built], tbl.BITMAP, dtype=jnp.float64)
+    inn = float(built.innersq)
+    t = jnp.zeros((3,), jnp.int32)
+    e_lo, f_lo, lo, _ = bank.interp(t, jnp.asarray([0.25 * inn, 0.5 * inn,
+                                                    0.9 * inn]))
+    e_edge, f_edge, _, _ = bank.interp(jnp.zeros((), jnp.int32),
+                                       jnp.asarray(inn))
+    np.testing.assert_allclose(np.asarray(e_lo), float(e_edge), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_lo), float(f_edge), rtol=1e-6)
+    assert np.all(np.asarray(lo))          # oob_low still reported
