@@ -104,3 +104,50 @@ def test_bethe_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out_f.f), np.asarray(out_k.f),
                                atol=1e-5 * scale)
     assert float(out_f.pe) == 0.0
+
+
+def test_kernel_select_gates(rng):
+    """ops/kernel_select: eligible system returns a workable
+    (fn, spec, params) under force=True; ineligible ones return None."""
+    from lammps_ucg_dev_tpu.models import pair_bethe
+    from lammps_ucg_dev_tpu.ops.kernel_select import select_pair_kernel
+
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    state = SimState.create(
+        x=x, typ=np.ones(n, np.int32), ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+
+    sel = select_pair_kernel(params, state, rc, 0.4, force=True)
+    assert sel is not None
+    fn, spec, kp = sel
+    assert isinstance(spec, colpack.ColumnSpec) and kp.cheb is not None
+    assert getattr(fn, "fast_variant", None) is not None
+
+    # bethe params select the bethe kernel; full-SCE is refused
+    bp = pair_bethe.make_params(bank, tp, 0.8, dtype=jnp.float32)
+    assert select_pair_kernel(bp, state, rc, 0.4, force=True) is not None
+    bp_sce = dataclasses_replace(bp, pseudo=False)
+    assert select_pair_kernel(bp_sce, state, rc, 0.4, force=True) is None
+
+    # refusals: f64 state, force=False, triclinic box, tiny box
+    state64 = SimState.create(
+        x=x, typ=np.ones(n, np.int32), ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    assert select_pair_kernel(params, state64, rc, 0.4, force=True) is None
+    assert select_pair_kernel(params, state, rc, 0.4, force=False) is None
+    import dataclasses as dc
+    tri = dc.replace(state, box=Box.create([0, 0, 0], [L, L, L],
+                                           tilt=[1.0, 0.5, 0.5]))
+    assert select_pair_kernel(params, tri, rc, 0.4, force=True) is None
+    small = SimState.create(
+        x=x[:64] * 0.5, typ=np.ones(64, np.int32),
+        ucgl=rng.uniform(0.2, 0.8, 64), ucgstate=rng.integers(0, 2, 64),
+        box=Box.create([0, 0, 0], [5.25] * 3), dtype=jnp.float32)
+    assert select_pair_kernel(params, small, rc, 0.4, force=True) is None
