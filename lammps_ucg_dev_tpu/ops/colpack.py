@@ -447,12 +447,13 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
 
 
 def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
-         ucgstate: jax.Array, dtype=jnp.float32, aux: "jax.Array | None" = None):
+         ucgstate: jax.Array, dtype=jnp.float32, aux: "jax.Array | None" = None,
+         typ: "jax.Array | None" = None):
     """Per-step attribute packing (positions/λ/state change every step; the
     slot mapping and pages persist for the reneighbor block).
 
     Returns (ipack, pages):
-      ipack (ncol*cz, 8)  real slots, rows = [x y z λ state valid aux 0]
+      ipack (ncol*cz, 8)  real slots, rows = [x y z λ state valid aux typ]
             (``aux`` carries a second per-atom scalar when the i-role and
             j-role read different fields — e.g. the Bethe kernel's i-prior)
       pages (npage, ncol, 8, W) overlapped z-pages of the extended slots,
@@ -467,7 +468,8 @@ def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
         jnp.ones((n, 1), dtype),
         (jnp.zeros((n, 1), dtype) if aux is None
          else aux.astype(dtype)[:, None]),
-        jnp.zeros((n, 1), dtype),
+        (jnp.zeros((n, 1), dtype) if typ is None
+         else typ.astype(dtype)[:, None]),
     ], axis=1)
     # pad row: positions poisoned far outside the box so pad slots fail the
     # rsq < cutsq test geometrically (valid flag stays 0 as a belt-and-

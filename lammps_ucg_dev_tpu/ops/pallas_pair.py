@@ -16,9 +16,12 @@ pseudolikelihood scores — pair_table_ucgld.cpp:111-541), new data movement:
 * Per-atom-owned tallies (full-list/newton-off): each program writes only its
   own G·8 rows; no scatter anywhere.
 
-Scope (same as v1): 2-state UCG, single actual type, uniform LINEAR tables
-with 4 combo tables (the flagship/bench config).  Callers must check
-:func:`supports`; the XLA path (models/pair_ucgld.py) remains the general
+Scope: uniform LINEAR tables sharing one cutoff; up to 3 actual types,
+each plain (1-state) or 2-state UCG — multi-type systems assemble the 2x2
+state block per candidate from class masks over ordered type pairs (see
+``_kernel``'s ``classes``).  A fused ``table_ucg_bethe`` variant shares the
+scaffolding (single type, pseudolikelihood scores).  Callers must check
+:func:`supports` / :func:`supports_bethe`; the XLA paths remain the general
 fallback and correctness oracle.
 """
 
@@ -43,18 +46,39 @@ NSTEN = colpack.NSTEN
 
 
 def supports(params: UCGLDParams, n_atoms: int) -> bool:
-    """Static eligibility of the fused kernel for this system."""
+    """Static eligibility of the fused kernel for this system: uniform
+    LINEAR tables, every type plain (1-state) or 2-state UCG, one shared
+    cutoff, and a bounded channel count (the class-mask assembly unrolls
+    over ordered type pairs — see _kernel's ``classes``)."""
     tp = params.tp
     ntypes = tp.cutsq.shape[0] - 1
-    return (
-        bool(params.bank.uniform)
-        and params.bank.n_tables == 4
-        and ntypes == 1
-        and int(np.asarray(tp.n_states)[1]) == 2
-    )
+    if not bool(params.bank.uniform) or ntypes < 1:
+        return False
+    ns = np.asarray(tp.n_states)[1:]
+    if not np.all((ns == 1) | (ns == 2)) or not np.any(ns == 2):
+        return False
+    cuts = np.asarray(tp.cutsq)[1:, 1:]
+    if not np.allclose(cuts, cuts[0, 0]):
+        return False
+    return params.bank.n_tables <= 8 and ntypes <= 3
 
 
-def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, *refs0):
+def _type_classes(tp, n_tables: int) -> "tuple | None":
+    """Static (ti, tj, (i00, i01, i10, i11)) tuples for the class-mask
+    assembly; None when one actual type whose table block is the identity
+    layout (channels are then exactly the 8-row fast path)."""
+    ntypes = tp.cutsq.shape[0] - 1
+    tab4 = np.asarray(tp.tab4)
+    if (ntypes == 1 and n_tables == 4
+            and list(tab4[1, 1].reshape(-1)) == [0, 1, 2, 3]):
+        return None
+    return tuple(
+        (ti, tj, tuple(int(v) for v in tab4[ti, tj].reshape(-1)))
+        for ti in range(1, ntypes + 1) for tj in range(1, ntypes + 1))
+
+
+def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
+            *refs0):
     """One program: G i-clusters vs 9 DMA'd stencil-column windows.
 
     ``style`` selects the per-candidate physics on the shared window/DMA
@@ -64,6 +88,13 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, *refs0):
     the i-role prior pi1 (from ucgl), window attr 3 the j-role prior pj1
     (from ucgp), and scal slot 6 carries kT.  ``mf`` selects the mean-field
     p11 = pi1·pj1 ("method mf").
+
+    ``classes``: None for single-actual-type systems (the Chebyshev bank
+    has exactly the 8 rows e00..e11, f00..f11).  For multi-type systems, a
+    static tuple of (ti, tj, (i00, i01, i10, i11)) entries: the bank holds
+    2·n_tables channel rows (all e rows then all f rows), and the 2x2
+    state-combination block per candidate is the class-mask-weighted sum
+    over ordered type pairs (ipack/window attr 7 carry the actual type).
 
     scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, dom_lo, dom_hi,
              kT, .]
@@ -178,17 +209,46 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, *refs0):
             u = 2.0 * (rsq - dom_lo) / (dom_hi - dom_lo) - 1.0
             u = jnp.clip(u, -1.0, 1.0)
 
-            # shared-basis Chebyshev: one T_k recurrence, 8 channel dots
+            # shared-basis Chebyshev: one T_k recurrence, all channel dots
+            nrow = len(ce)
             acc = [jnp.full_like(u, ce[r][0]) + ce[r][1] * u
-                   for r in range(8)]
+                   for r in range(nrow)]
             tm2 = jnp.ones_like(u)
             tm1 = u
             for k in range(2, degree):
                 tk = 2.0 * u * tm1 - tm2
-                for r in range(8):
+                for r in range(nrow):
                     acc[r] = acc[r] + ce[r][k] * tk
                 tm2, tm1 = tm1, tk
-            e00, e01, e10, e11, f00, f01, f10, f11 = acc
+            if classes is None:
+                e00, e01, e10, e11, f00, f01, f10, f11 = acc
+            else:
+                # class-mask-weighted 2x2 block assembly: ordered type
+                # pairs select which channel rows form e00..f11 (mti is
+                # (CL,1), mtj (1,W) — the product broadcasts per candidate)
+                T = nrow // 2
+                tiv = ipack_ref[sl, 7:8]
+                tjv = jwin[s, 7:8, :]
+                e00 = e01 = e10 = e11 = None
+                f00 = f01 = f10 = f11 = None
+                for (tci, tcj, ids) in classes:
+                    mti = (tiv == float(tci)).astype(jnp.float32)
+                    mtj = (tjv == float(tcj)).astype(jnp.float32)
+                    m = mti * mtj
+                    vals = [m * acc[ids[q]] for q in range(4)]
+                    fvals = [m * acc[T + ids[q]] for q in range(4)]
+                    if e00 is None:
+                        e00, e01, e10, e11 = vals
+                        f00, f01, f10, f11 = fvals
+                    else:
+                        e00 = e00 + vals[0]
+                        e01 = e01 + vals[1]
+                        e10 = e10 + vals[2]
+                        e11 = e11 + vals[3]
+                        f00 = f00 + fvals[0]
+                        f01 = f01 + fvals[1]
+                        f10 = f10 + fvals[2]
+                        f11 = f11 + fvals[3]
 
             zero = jnp.zeros_like(u)
             if style == "ucgld":
@@ -284,7 +344,8 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, *refs0):
 
 
 def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
-                observe: bool, style: str, mf: bool, interpret: bool):
+                observe: bool, style: str, mf: bool, interpret: bool,
+                classes: "tuple | None" = None):
     """Shared pallas_call scaffolding for every kernel style."""
     dtype = jnp.float32
     G, gs, gpc = cl.G, cl.gs, cl.cz // cl.gs
@@ -292,7 +353,7 @@ def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
     ce = [[float(c) for c in row]
           for row in np.asarray(cheb.coeffs, np.float64)]
     kern = functools.partial(_kernel, ce, cheb.degree, G, gpc, cl.czp, cl.gz,
-                             cl.S, observe, style, mf)
+                             cl.S, observe, style, mf, classes)
 
     meta = cl.meta
     if meta.shape[0] % 8:
@@ -341,8 +402,14 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
     tp = params.tp
     dtype = jnp.float32
 
-    ipack, pages = colpack.pack(cl, state.box, state.x, state.ucgl,
-                                state.ucgstate, dtype=dtype)
+    classes = _type_classes(tp, params.bank.n_tables)
+    is_ucg_all = tp.n_states[state.typ] > 1
+    # non-UCG atoms carry lambda-weight [1, 0]: zero their packed lambda
+    # (models/common.lambda_weights semantics)
+    lam_eff = jnp.where(is_ucg_all, state.ucgl, 0.0)
+    ipack, pages = colpack.pack(
+        cl, state.box, state.x, lam_eff, state.ucgstate, dtype=dtype,
+        typ=(state.typ if classes is not None else None))
     L = state.box.lengths.astype(dtype)
     scal = jnp.stack([
         L[0], L[1],
@@ -353,7 +420,8 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
     ])[None, :]
 
     outs = _run_kernel(cl, scal, ipack, pages, cheb, observe,
-                       style="ucgld", mf=False, interpret=interpret)
+                       style="ucgld", mf=False, interpret=interpret,
+                       classes=classes)
     out = outs[0]
 
     out_at = jnp.take(out, cl.atom_slot, axis=0)               # (N, 8)

@@ -151,3 +151,37 @@ def test_kernel_select_gates(rng):
         ucgl=rng.uniform(0.2, 0.8, 64), ucgstate=rng.integers(0, 2, 64),
         box=Box.create([0, 0, 0], [5.25] * 3), dtype=jnp.float32)
     assert select_pair_kernel(params, small, rc, 0.4, force=True) is None
+
+
+def test_multi_type_kernel_matches_xla(rng):
+    """Class-mask multi-type assembly: mixed plain-CG (type 1, 1-state) +
+    UCG (type 2, 2-state) system vs the XLA path on identical candidates."""
+    st, bank, tp, rc = helpers.build_mixed(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    typ = np.where(rng.uniform(size=n) < 0.4, 1, 2).astype(np.int32)
+    state = SimState.create(
+        x=x, typ=typ, ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    assert pk.supports(params, n)
+    assert pk._type_classes(tp, bank.n_tables) is not None
+    cheb = chebtab.fit_bank(bank)
+    assert float(jnp.max(cheb.max_rel_err)) < 1e-4
+
+    out_k = pk.compute(state, cl, params, cheb, interpret=True)
+    out_x = pair_ucgld.compute(state, colpack.as_neighbor_list(cl, n), params)
+
+    scale = float(np.abs(np.asarray(out_x.f)).max())
+    np.testing.assert_allclose(np.asarray(out_k.f), np.asarray(out_x.f),
+                               atol=5e-5 * scale)
+    np.testing.assert_allclose(float(out_k.pe), float(out_x.pe), rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_k.ucgforce),
+                               np.asarray(out_x.ucgforce), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_k.scores),
+                               np.asarray(out_x.scores), atol=3e-5)
