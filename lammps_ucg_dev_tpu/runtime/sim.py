@@ -225,6 +225,15 @@ class Simulation:
             # lax.cond.  Exposure to within-block drift is identical to the
             # unconditional-rebuild scheme (both check at block boundaries;
             # the end-of-block danger flag reports violations either way).
+            # Scale note: the trigger is a MAX over atoms, so at large N the
+            # 5-sigma displacement tail crosses skin/2 nearly every block
+            # and the cond degenerates to rebuild-per-block (measured at
+            # 262k, T~1, dt 4e-3, skin 0.4); the win appears for smaller or
+            # colder systems.  dangerous_builds counts blocks whose end
+            # state exceeded the criterion — a conservative over-count of
+            # LAMMPS's per-step "dangerous build" (we check once per block);
+            # the NVE drift acceptance (4e-5 << 1e-4) bounds the actual
+            # physics exposure.
             need = nbrmod.displacement_check(nbr, state.x, state.box,
                                              self.nbr_spec.skin)
             state, fcarry, nbr = jax.lax.cond(
