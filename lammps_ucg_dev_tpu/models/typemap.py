@@ -117,8 +117,10 @@ class TablePairBuilder:
                             raise ValueError(
                                 f"Formal type not defined for actual type {i}/{j}"
                             )
+                        # DIRECTED assignment only, like the reference's
+                        # coeff() (pair_table_ucgld.cpp:844); init_one's
+                        # upper-triangular symmetrization happens in build()
                         self.tabindex[fi, fj] = tid
-                        self.tabindex[fj, fi] = tid
                         count += 1
                 if count == 0:
                     raise ValueError("Illegal pair_coeff command")
@@ -128,6 +130,18 @@ class TablePairBuilder:
         T, F = st.n_actual_types, st.n_formal_types
         if len(self.tables) == 0:
             raise ValueError("No pair_coeff tables defined")
+
+        # init_one symmetrization (pair_table_ucgld.cpp:892): the UPPER
+        # triangular entry wins for both directions, so a state pair whose
+        # "01" and "10" files differ uses the 01 table for both lookups —
+        # exactly the reference's behavior (its coeff() sets directed
+        # entries; init_one(i<=j) then copies [i][j] over [j][i]).
+        for a in range(1, F + 1):
+            for b in range(a, F + 1):
+                if self.tabindex[a, b] >= 0:
+                    self.tabindex[b, a] = self.tabindex[a, b]
+                elif self.tabindex[b, a] >= 0:
+                    self.tabindex[a, b] = self.tabindex[b, a]
 
         # validate completeness over formal pairs that can actually occur
         tab4 = np.zeros((T + 1, T + 1, 2, 2), dtype=np.int64)

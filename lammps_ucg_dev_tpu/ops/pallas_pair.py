@@ -63,15 +63,13 @@ def supports(params: UCGLDParams, n_atoms: int) -> bool:
     return params.bank.n_tables <= 8 and ntypes <= 3
 
 
-def _type_classes(tp, n_tables: int) -> "tuple | None":
-    """Static (ti, tj, (i00, i01, i10, i11)) tuples for the class-mask
-    assembly; None when one actual type whose table block is the identity
-    layout (channels are then exactly the 8-row fast path)."""
+def _type_classes(tp, n_tables: int) -> tuple:
+    """Static (ti, tj, (i00, i01, i10, i11)) tuples: which channel rows form
+    the 2x2 state block per ordered type pair.  A single class (one actual
+    type) costs nothing at runtime — the kernel indexes the channel rows
+    statically; multiple classes use the mask-weighted sum."""
     ntypes = tp.cutsq.shape[0] - 1
     tab4 = np.asarray(tp.tab4)
-    if (ntypes == 1 and n_tables == 4
-            and list(tab4[1, 1].reshape(-1)) == [0, 1, 2, 3]):
-        return None
     return tuple(
         (ti, tj, tuple(int(v) for v in tab4[ti, tj].reshape(-1)))
         for ti in range(1, ntypes + 1) for tj in range(1, ntypes + 1))
@@ -89,12 +87,12 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
     (from ucgp), and scal slot 6 carries kT.  ``mf`` selects the mean-field
     p11 = pi1·pj1 ("method mf").
 
-    ``classes``: None for single-actual-type systems (the Chebyshev bank
-    has exactly the 8 rows e00..e11, f00..f11).  For multi-type systems, a
-    static tuple of (ti, tj, (i00, i01, i10, i11)) entries: the bank holds
-    2·n_tables channel rows (all e rows then all f rows), and the 2x2
-    state-combination block per candidate is the class-mask-weighted sum
-    over ordered type pairs (ipack/window attr 7 carry the actual type).
+    ``classes``: static (ti, tj, (i00, i01, i10, i11)) tuples mapping the
+    2x2 state-combination block to channel rows (the bank holds 2·n_tables
+    rows: all e rows then all f rows).  One class = static indexing, zero
+    runtime cost; multiple classes = mask-weighted sum over ordered type
+    pairs (ipack/window attr 7 carry the actual type).  None = the legacy
+    identity unpack (rows are exactly e00..e11, f00..f11).
 
     scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, dom_lo, dom_hi,
              kT, .]
@@ -222,6 +220,17 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
                 tm2, tm1 = tm1, tk
             if classes is None:
                 e00, e01, e10, e11, f00, f01, f10, f11 = acc
+            elif len(classes) == 1:
+                # one actual type: the channel selection is static — zero
+                # runtime cost (this also honors the reference's init_one
+                # symmetrization where the 01 table serves both cross
+                # combos, pair_table_ucgld.cpp:892)
+                T = nrow // 2
+                ids = classes[0][2]
+                e00, e01, e10, e11 = (acc[ids[0]], acc[ids[1]],
+                                      acc[ids[2]], acc[ids[3]])
+                f00, f01, f10, f11 = (acc[T + ids[0]], acc[T + ids[1]],
+                                      acc[T + ids[2]], acc[T + ids[3]])
             else:
                 # class-mask-weighted 2x2 block assembly: ordered type
                 # pairs select which channel rows form e00..f11 (mti is
@@ -409,7 +418,7 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
     lam_eff = jnp.where(is_ucg_all, state.ucgl, 0.0)
     ipack, pages = colpack.pack(
         cl, state.box, state.x, lam_eff, state.ucgstate, dtype=dtype,
-        typ=(state.typ if classes is not None else None))
+        typ=(state.typ if len(classes) > 1 else None))
     L = state.box.lengths.astype(dtype)
     scal = jnp.stack([
         L[0], L[1],
@@ -519,7 +528,8 @@ def compute_bethe(state: SimState, cl: colpack.ColumnList, params,
 
     outs = _run_kernel(cl, scal, ipack, pages, cheb, observe,
                        style="bethe", mf=params.method == "mf",
-                       interpret=interpret)
+                       interpret=interpret,
+                       classes=_type_classes(tp, params.bank.n_tables))
     out_at = jnp.take(outs[0], cl.atom_slot, axis=0)           # (N, 8)
     f = out_at[:, 0:3]
     is_ucg = tp.n_states[state.typ] > 1

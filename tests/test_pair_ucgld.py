@@ -196,3 +196,26 @@ def test_ucgstate_posterior(rng):
     s = np.asarray(out.scores)
     np.testing.assert_allclose(p, np.clip(1 / (1 + np.exp(s[:, 0] - s[:, 1])),
                                           1e-6, 1 - 1e-6), rtol=1e-10)
+
+
+def test_asymmetric_cross_tables_use_01_like_reference(rng):
+    """pair_coeff with DIFFERENT 01 and 10 tables: the reference's init_one
+    symmetrization (pair_table_ucgld.cpp:892) makes the upper-triangular
+    (01) table serve BOTH cross state combos; tab4 must reflect that."""
+    import numpy as np
+
+    from lammps_ucg_dev_tpu.io.state_settings import parse_state_settings
+    from lammps_ucg_dev_tpu.models.typemap import TablePairBuilder
+
+    st = parse_state_settings("1 2 2\n1 2\n1 2\n0.0 0.3\n", "ucgld")
+    b = TablePairBuilder("linear", 800, st)
+    rc = 2.5
+    b.pair_coeff(1, 1, 2, 2, [
+        (helpers.make_soft_table(1.0, rc), rc),
+        (helpers.make_soft_table(0.7, rc), rc),   # 01 file
+        (helpers.make_soft_table(0.4, rc), rc),   # 10 file (differs!)
+        (helpers.make_soft_table(0.25, rc), rc)])
+    bank, tp = b.build(dtype=jnp.float64)
+    t4 = np.asarray(tp.tab4)[1, 1]
+    assert t4[0, 1] == t4[1, 0] == 1, t4   # both cross combos -> 01 table
+    assert t4[0, 0] == 0 and t4[1, 1] == 3
