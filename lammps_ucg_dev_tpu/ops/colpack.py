@@ -2,7 +2,7 @@
 fused Pallas pair kernel (GROMACS-nbnxn-inspired, re-shaped for TPU vregs).
 
 Why this geometry (v2; replaces the cubic-cell cluster list of
-ops/clusters.py): the round-1 cluster kernel was numerically exact but lost
+attic/clusters.py): the round-1 cluster kernel was numerically exact but lost
 end-to-end because (a) cubic cells of side cutoff+skin at fluid densities are
 ~30% occupied, so most staged lanes were padding, and (b) staging a j-cluster
 cost 16 scalar-indexed row loads + 7 sub-lane stores.  Column packing removes

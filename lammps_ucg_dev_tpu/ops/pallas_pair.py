@@ -1,6 +1,6 @@
 """Fused Pallas pair kernel over column-packed candidates (production path).
 
-This is the v2 kernel replacing ops/pallas_ucgld.py's cluster kernel.  Same
+This is the v2 kernel replacing the round-1 cluster kernel (attic/).  Same
 physics (``pair_style table_ucgld``: λ-mixed 4-table energy/force, λ-forces,
 pseudolikelihood scores — pair_table_ucgld.cpp:111-541), new data movement:
 
