@@ -119,6 +119,9 @@ class ColumnSpec:
     G: int
     S: int
     stencil_cols: np.ndarray   # (ncol, 9) int32, static, x-row-major
+                               # (-1 = non-existent neighbor, periodic_x=False)
+    periodic_x: bool = True    # False for slab virtual boxes (halos provide
+                               # the x images; edge columns have no wraparound)
 
     @property
     def rc(self) -> float:
@@ -156,34 +159,55 @@ def _grid_dims(box_lengths, rc):
     return L, mx, my
 
 
-def _stencil(mx, my):
+_POISON_CODE = 27   # stencil-shift code for a non-existent neighbor column
+                    # (non-periodic x): decodes to sx = +8, pushing the whole
+                    # window 8*Lx away so every candidate fails the cutoff
+
+
+def _stencil(mx, my, periodic_x=True):
     """(ncol, 9) stencil in x-row-major order: rows = dx in (-1,0,1), each
-    row the 3 consecutive dy columns."""
+    row the 3 consecutive dy columns.  With ``periodic_x=False`` (slab
+    virtual boxes: halos provide the x images), out-of-range x neighbors are
+    -1 — callers mask them (build remaps to column 0 with a poisoned shift
+    code; measure/oracle paths skip them)."""
     ncol = mx * my
     cx, cy = np.divmod(np.arange(ncol, dtype=np.int64), my)
-    sten = np.stack([((cx + dx) % mx) * my + (cy + dy) % my
-                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
-                    axis=1).astype(np.int32)
-    return sten
+    cols = []
+    for dx in (-1, 0, 1):
+        nx = cx + dx
+        c = ((nx % mx) * my).astype(np.int64)
+        bad = None if periodic_x else ((nx < 0) | (nx >= mx))
+        for dy in (-1, 0, 1):
+            col = c + (cy + dy) % my
+            if bad is not None:
+                col = np.where(bad, -1, col)
+            cols.append(col.astype(np.int32))
+    return np.stack(cols, axis=1).astype(np.int32)
 
 
-def _stencil_shifts(mx, my):
+def _stencil_shifts(mx, my, periodic_x=True):
     """(ncol, 9) int32: encoded x/y periodic image shift of each stencil
     column relative to its center column — ``(sx+1)*3 + (sy+1)`` with
     sx, sy ∈ {-1, 0, +1} (units of Lx/Ly).  Because the column grid has
     >= 3 columns per side and side >= cutoff+skin, the column relationship
     uniquely determines the only image that can be within the cutoff, so the
     kernel applies the shift ONCE per window instead of per-candidate
-    min-image rounds."""
+    min-image rounds.  Non-periodic x: out-of-range neighbors get
+    ``_POISON_CODE`` (the kernel shifts that window far out of range)."""
     ncol = mx * my
     cx, cy = np.divmod(np.arange(ncol, dtype=np.int64), my)
     enc = []
     for dx in (-1, 0, 1):
-        sx = (cx + dx) // mx        # -1, 0, or +1 (floor division)
+        nx = cx + dx
+        sx = nx // mx               # -1, 0, or +1 (floor division)
+        bad = None if periodic_x else ((nx < 0) | (nx >= mx))
         for dy in (-1, 0, 1):
             sy = (cy + dy) // my
             # j position must shift by +s to sit next to i: x_j + s*L
-            enc.append(((sx + 1) * 3 + (sy + 1)).astype(np.int32))
+            code = (sx + 1) * 3 + (sy + 1)
+            if bad is not None:
+                code = np.where(bad, _POISON_CODE, code)
+            enc.append(code.astype(np.int32))
     return np.stack(enc, axis=1).astype(np.int32)
 
 
@@ -195,7 +219,8 @@ def _round_czp(cz, gz, S):
 
 def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
               G: int | None = None, S: int | None = None,
-              cz: int | None = None, gz: int | None = None) -> ColumnSpec:
+              cz: int | None = None, gz: int | None = None,
+              periodic_x: bool = True) -> ColumnSpec:
     """Analytic spec from mean density (no positions needed).  Prefer
     :func:`measure_spec` at setup time — it sizes from the actual
     configuration and is robust to structured/inhomogeneous systems."""
@@ -236,7 +261,8 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
         gz = int(-(-(gmean + 6.0 * math.sqrt(max(gmean, 1.0)) + 4) // CL) * CL)
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=int(cz),
                       gz=int(gz), czp=_round_czp(cz, gz, S), G=int(G),
-                      S=int(S), stencil_cols=_stencil(mx, my))
+                      S=int(S), stencil_cols=_stencil(mx, my, periodic_x),
+                      periodic_x=periodic_x)
 
 
 # (G, S) preference order: large G first (fewer programs and DMAs), then
@@ -246,47 +272,62 @@ _GS_CANDIDATES = [(8, 32), (8, 16), (4, 64), (4, 32), (4, 16),
 
 
 def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
-                 span_margin: int = 10, G_max: int = 8) -> ColumnSpec:
+                 span_margin: int = 10, G_max: int = 8,
+                 periodic_x: bool = True) -> ColumnSpec:
     """Data-driven spec: measure the actual x-row window spans / column
     counts / ghost needs from the setup positions (host numpy) and size
     (G, S), cz, gz with margins.  Robust to structured (lattice) or
     inhomogeneous configurations where the analytic Poisson model of
     :func:`make_spec` underestimates — the runtime overflow flag remains the
-    backstop as atoms move."""
-    xn = np.asarray(x, np.float64)
-    n = xn.shape[0]
+    backstop as atoms move.
+
+    ``x`` is one (N, 3) configuration, or a LIST of configurations measured
+    jointly (one shared spec sized for the worst) — the slab path uses this
+    to build ONE static spec covering every slab's local+halo population.
+    Positions must already be normalized to [0, L) per axis (callers
+    pre-wrap; for slabs, to the virtual-box frame)."""
+    configs = x if isinstance(x, (list, tuple)) else [x]
     rc = cutoff + skin
     L, mx, my = _grid_dims(box_lengths, rc)
     ncol = mx * my
     Lz = L[2]
-    ccx = np.clip((xn[:, 0] / L[0] * mx).astype(np.int64), 0, mx - 1)
-    ccy = np.clip((xn[:, 1] / L[1] * my).astype(np.int64), 0, my - 1)
-    col = ccx * my + ccy
-    z = np.mod(xn[:, 2], Lz)
-    order = np.lexsort((z, col))
-    zc, colc = z[order], col[order]
-    starts = np.searchsorted(colc, np.arange(ncol))
-    ends = np.searchsorted(colc, np.arange(ncol), side="right")
-    counts = ends - starts
-    zcols = [zc[starts[c]:ends[c]] for c in range(ncol)]
-    zexts = [np.concatenate([zs - Lz, zs, zs + Lz]) for zs in zcols]
-    sten = _stencil(mx, my)
+    sten = _stencil(mx, my, periodic_x)
+
+    per_cfg = []
+    for xc in configs:
+        xn = np.asarray(xc, np.float64)
+        ccx = np.clip((xn[:, 0] / L[0] * mx).astype(np.int64), 0, mx - 1)
+        ccy = np.clip((xn[:, 1] / L[1] * my).astype(np.int64), 0, my - 1)
+        col = ccx * my + ccy
+        z = np.mod(xn[:, 2], Lz)
+        order = np.lexsort((z, col))
+        zc, colc = z[order], col[order]
+        starts = np.searchsorted(colc, np.arange(ncol))
+        ends = np.searchsorted(colc, np.arange(ncol), side="right")
+        counts = ends - starts
+        zcols = [zc[starts[c]:ends[c]] for c in range(ncol)]
+        zexts = [np.concatenate([zs - Lz, zs, zs + Lz]) for zs in zcols]
+        per_cfg.append((xn.shape[0], counts, zcols, zexts))
 
     def max_col_span(g):
         gs = CL * g
         mx_span = 0
-        for c in range(ncol):
-            zs = zcols[c]
-            if len(zs) == 0:
-                continue
-            ng = -(-len(zs) // gs)
-            glo = zs[np.arange(ng) * gs] - rc
-            ghi = zs[np.minimum(np.arange(1, ng + 1) * gs, len(zs)) - 1] + rc
-            for nc in sten[c]:
-                z0 = np.searchsorted(zexts[nc], glo, side="left")
-                z1 = np.searchsorted(zexts[nc], ghi, side="right")
-                if ng:
-                    mx_span = max(mx_span, int((z1 - z0).max()))
+        for (_, _, zcols, zexts) in per_cfg:
+            for c in range(ncol):
+                zs = zcols[c]
+                if len(zs) == 0:
+                    continue
+                ng = -(-len(zs) // gs)
+                glo = zs[np.arange(ng) * gs] - rc
+                ghi = zs[np.minimum(np.arange(1, ng + 1) * gs,
+                                    len(zs)) - 1] + rc
+                for nc in sten[c]:
+                    if nc < 0:
+                        continue        # non-existent neighbor (slab edge)
+                    z0 = np.searchsorted(zexts[nc], glo, side="left")
+                    z1 = np.searchsorted(zexts[nc], ghi, side="right")
+                    if ng:
+                        mx_span = max(mx_span, int((z1 - z0).max()))
         return mx_span
 
     spans = {}
@@ -303,18 +344,26 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
         raise ValueError(f"measured row spans {spans} + margin exceed every "
                          f"page stride; geometry unsupported")
     gs = CL * G
-    mean_col = max(n / ncol, 1.0)
-    cap = counts.max() + 4.0 * math.sqrt(mean_col) + 8
+    mean_col = max(max(n for (n, _, _, _) in per_cfg) / ncol, 1.0)
+    cap = (max(int(counts.max()) for (_, counts, _, _) in per_cfg)
+           + 4.0 * math.sqrt(mean_col) + 8)
     cz = int(-(-cap // gs) * gs)
-    need = max(int(max(np.sum(zs < rc) for zs in zcols)),
-               int(max(np.sum(zs > Lz - rc) for zs in zcols)))
+    need = max(max(int(max(np.sum(zs < rc) for zs in zcols)),
+                   int(max(np.sum(zs > Lz - rc) for zs in zcols)))
+               for (_, _, zcols, _) in per_cfg)
     gz = int(-(-(need + 4.0 * math.sqrt(max(need, 1.0)) + 4) // CL) * CL)
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=cz,
                       gz=gz, czp=_round_czp(cz, gz, S), G=G, S=S,
-                      stencil_cols=sten)
+                      stencil_cols=sten, periodic_x=periodic_x)
 
 
-def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
+def build(x: jax.Array, box: Box, spec: ColumnSpec,
+          valid: "jax.Array | None" = None) -> ColumnList:
+    """``valid`` (N,) bool: rows to include (slab drivers pass fixed-capacity
+    row blocks where rows beyond the live count are inert padding — those
+    are dropped from every column, so they are never pair candidates; their
+    ``atom_slot`` entries point out of range and gather clipped garbage the
+    caller discards)."""
     if box.is_triclinic:
         raise ValueError("the column kernel path requires an orthogonal box")
     n = x.shape[0]
@@ -331,24 +380,28 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
     ccx = jnp.clip((fx * mx).astype(jnp.int32), 0, mx - 1)
     ccy = jnp.clip((fy * my).astype(jnp.int32), 0, my - 1)
     col = ccx * my + ccy
-    z = x[:, 2]
+    if valid is not None:
+        col = jnp.where(valid, col, ncol)      # invalid rows sort past the end
+    z = x[:, 2] - box.lo[2]
     order = jnp.lexsort((z, col)).astype(jnp.int32)
     sorted_col = col[order]
     first = jnp.searchsorted(sorted_col, sorted_col, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    col_overflow = jnp.max(rank) >= cz
+    in_range = sorted_col < ncol
+    col_overflow = jnp.max(jnp.where(in_range, rank, 0)) >= cz
     rank_c = jnp.clip(rank, 0, cz - 1)
-    rslot_sorted = sorted_col * cz + rank_c
+    rslot_sorted = jnp.where(in_range, sorted_col * cz + rank_c, ncol * cz)
 
+    unique = valid is None
     slot_atom = jnp.full((ncol * cz,), n, dtype=jnp.int32).at[rslot_sorted].set(
-        order, indices_are_sorted=True, unique_indices=True)
+        order, indices_are_sorted=True, unique_indices=unique, mode="drop")
     atom_slot = jnp.zeros((n,), jnp.int32).at[order].set(
         rslot_sorted, unique_indices=True)
     count = jnp.bincount(col, length=ncol).astype(jnp.int32)   # (ncol,)
 
     # real-region z values; pads take z = Lz so every column row is ascending
     z_real = jnp.full((ncol * cz,), Lz, dtype=dtype).at[rslot_sorted].set(
-        z[order], indices_are_sorted=True, unique_indices=True
+        z[order], indices_are_sorted=True, unique_indices=unique, mode="drop"
     ).reshape(ncol, cz)
     sa_real = slot_atom.reshape(ncol, cz)
 
@@ -406,7 +459,12 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
     zlo = jnp.where(has, zlo_v, Lz) - rc
     zhi = jnp.where(has, zhi_v, Lz) + rc
 
-    zext_sten = zext[jnp.asarray(spec.stencil_cols, jnp.int32)]  # (ncol,9,czp)
+    # non-existent stencil neighbors (periodic_x=False edges) are remapped to
+    # column 0 with a poisoned shift code — their windows get a degenerate
+    # [0, 0) span below so they cost nothing and never overflow
+    sten_cols = np.maximum(spec.stencil_cols, 0)
+    sten_ok = spec.stencil_cols >= 0                             # (ncol, 9)
+    zext_sten = zext[jnp.asarray(sten_cols, jnp.int32)]          # (ncol,9,czp)
 
     def win_col(zrows, vlo, vhi):
         # zrows (9, czp) ascending; vlo/vhi (gpc,)
@@ -415,6 +473,10 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
         return z0.T, z1.T                                       # (gpc, 9)
 
     z0, z1 = jax.vmap(win_col)(zext_sten, zlo, zhi)             # (ncol, gpc, 9)
+    if not np.all(sten_ok):
+        okb = jnp.asarray(sten_ok)[:, None, :]
+        z0 = jnp.where(okb, z0, 0)
+        z1 = jnp.where(okb, z1, 0)
     # per (program, stencil column) page: aligned down to the stride S so the
     # DMA source is a whole (8, W) tile of the pages array
     S = spec.S
@@ -424,8 +486,9 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
     win_overflow = max_span > W
 
     n_prog = ncol * gpc
-    sten_rep = np.repeat(spec.stencil_cols, gpc, axis=0)        # (n_prog, 9)
-    shift_rep = np.repeat(_stencil_shifts(mx, my), gpc, axis=0)
+    sten_rep = np.repeat(sten_cols, gpc, axis=0)                # (n_prog, 9)
+    shift_rep = np.repeat(_stencil_shifts(mx, my, spec.periodic_x), gpc,
+                          axis=0)
     meta = jnp.concatenate([
         jnp.asarray(sten_rep, jnp.int32),
         page.reshape(n_prog, NSTEN),
@@ -444,6 +507,18 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec) -> ColumnList:
         max_occupancy=max_span,
         mx=mx, my=my, cz=cz, gz=gz, czp=czp, G=spec.G, S=S,
     )
+
+
+def restrict_i(cl: ColumnList, i_mask: jax.Array) -> ColumnList:
+    """Restrict the i-side (tally-owning) slots to atoms with ``i_mask``
+    True.  The slab driver uses this to stop ghost (halo) atoms from
+    tallying pe/virial — they stay j-candidates, exactly like the XLA slab
+    path's ``i_valid`` exclusion (atoms' force rows are still written but
+    the caller discards non-owned rows)."""
+    ids = cl.slot_atom_ext.reshape(cl.ncol, cl.czp)[
+        :, cl.gz:cl.gz + cl.cz].reshape(-1)                     # (n_slots,)
+    m = jnp.concatenate([i_mask, jnp.zeros((1,), bool)])[ids]   # id n -> False
+    return dataclasses.replace(cl, i_valid=cl.i_valid & m)
 
 
 def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
@@ -507,6 +582,10 @@ def as_neighbor_list(cl: ColumnList, n_atoms: int):
     eslot = (cols[:, :, None] * cl.czp
              + starts[:, :, None] + lanes[None, None, :])      # (n_prog,9,W)
     jat = cl.slot_atom_ext[eslot.reshape(n_prog, NSTEN * W)]
+    # poisoned windows (non-periodic-x edges) are not candidates
+    codes = cl.meta[:, 2 * NSTEN:3 * NSTEN]                    # (n_prog, 9)
+    poison = jnp.repeat(codes == _POISON_CODE, W, axis=1)      # (n_prog, 9W)
+    jat = jnp.where(poison, n_atoms, jat)
     # dedupe within each program row (sort, drop equal-consecutive)
     s = jnp.sort(jat, axis=1)
     dup = jnp.concatenate(

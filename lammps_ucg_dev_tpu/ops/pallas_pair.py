@@ -356,6 +356,7 @@ def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
                 observe: bool, style: str, mf: bool, interpret: bool,
                 classes: "tuple | None" = None):
     """Shared pallas_call scaffolding for every kernel style."""
+    interpret = _auto_interpret(interpret)
     dtype = jnp.float32
     G, gs, gpc = cl.G, cl.gs, cl.cz // cl.gs
     n_prog = cl.n_prog
@@ -398,8 +399,16 @@ def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
     )(scal, meta, ipack, pages)
 
 
+def _auto_interpret(interpret: "bool | None") -> bool:
+    """interpret=None resolves by backend: compiled on TPU, interpreter on
+    CPU (the virtual-mesh test/dryrun backend, where Mosaic cannot compile)."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
 def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
-            cheb: ChebBank, interpret: bool = False,
+            cheb: ChebBank, interpret: "bool | None" = False,
             observe: bool = True) -> ForceOut:
     """ForceOut-compatible fused evaluation (see module docstring for scope).
 
@@ -433,7 +442,8 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
                        classes=classes)
     out = outs[0]
 
-    out_at = jnp.take(out, cl.atom_slot, axis=0)               # (N, 8)
+    out_at = jnp.take(out, cl.atom_slot, axis=0,
+                      mode="clip")                               # (N, 8)
     f = out_at[:, 0:3]
     is_ucg = tp.n_states[state.typ] > 1
     ucgforce = jnp.where(is_ucg, out_at[:, 3] - tp.mu_diff[state.typ], 0.0)
@@ -466,8 +476,10 @@ def compute_style(state: SimState, cl: colpack.ColumnList,
                   params: UCGLDParams) -> ForceOut:
     """Simulation-compatible pair_compute: reads the ChebBank from
     ``params.cheb`` (set it via ``chebtab.fit_bank``); ``nbr`` is a
-    ColumnList built by ops/colpack.py."""
-    return compute(state, cl, params, params.cheb)
+    ColumnList built by ops/colpack.py.  interpret=None: compiled on TPU,
+    interpreter on the CPU virtual-mesh backend — so the same style fn
+    serves the production chip, the multichip dryrun, and the test mesh."""
+    return compute(state, cl, params, params.cheb, interpret=None)
 
 
 def compute_style_fast(state: SimState, cl: colpack.ColumnList,
@@ -475,7 +487,8 @@ def compute_style_fast(state: SimState, cl: colpack.ColumnList,
     """Fast variant of :func:`compute_style` — no energy/virial/oob
     (observe=False).  The Simulation driver uses it for interior steps of a
     reneighbor block and runs the full kernel on the last step."""
-    return compute(state, cl, params, params.cheb, observe=False)
+    return compute(state, cl, params, params.cheb, observe=False,
+                   interpret=None)
 
 
 compute_style.fast_variant = compute_style_fast
@@ -530,7 +543,8 @@ def compute_bethe(state: SimState, cl: colpack.ColumnList, params,
                        style="bethe", mf=params.method == "mf",
                        interpret=interpret,
                        classes=_type_classes(tp, params.bank.n_tables))
-    out_at = jnp.take(outs[0], cl.atom_slot, axis=0)           # (N, 8)
+    out_at = jnp.take(outs[0], cl.atom_slot, axis=0,
+                      mode="clip")                               # (N, 8)
     f = out_at[:, 0:3]
     is_ucg = tp.n_states[state.typ] > 1
     # chemical-potential score initialization (:155-162)
@@ -560,12 +574,13 @@ def compute_bethe(state: SimState, cl: colpack.ColumnList, params,
 def compute_style_bethe(state: SimState, cl: colpack.ColumnList,
                         params) -> ForceOut:
     """Simulation-compatible pair_compute for the fused Bethe kernel."""
-    return compute_bethe(state, cl, params, params.cheb)
+    return compute_bethe(state, cl, params, params.cheb, interpret=None)
 
 
 def compute_style_bethe_fast(state: SimState, cl: colpack.ColumnList,
                              params) -> ForceOut:
-    return compute_bethe(state, cl, params, params.cheb, observe=False)
+    return compute_bethe(state, cl, params, params.cheb, observe=False,
+                         interpret=None)
 
 
 compute_style_bethe.fast_variant = compute_style_bethe_fast

@@ -51,6 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lammps_ucg_dev_tpu.core.state import Box, ForceOut, SimState
 from lammps_ucg_dev_tpu.fixes import integrate as fi
+from lammps_ucg_dev_tpu.ops import colpack
 from lammps_ucg_dev_tpu.ops import neighbor as nbrmod
 from lammps_ucg_dev_tpu.runtime.sim import Simulation
 
@@ -134,6 +135,38 @@ def make_slab_spec(n_atoms: int, box_lengths, cutoff: float, skin: float,
     nbr = nbrmod.make_spec(cap_tot, virt_L, cutoff, skin, method=nbr_method)
     return SlabSpec(n_devices=D, cap_local=int(cap_local),
                     cap_halo=int(cap_halo), cap_mig=int(cap_mig), nbr=nbr)
+
+
+def make_column_slab_spec(n_atoms: int, box_lengths, cutoff: float,
+                          skin: float, n_devices: int, x,
+                          **caps) -> SlabSpec:
+    """SlabSpec whose local pair structure is the fused-kernel ColumnSpec
+    (ops/colpack.py) over the slab's non-periodic-x virtual box — the
+    composition of the production Pallas kernel with the slab
+    decomposition.  One STATIC spec serves every device (shard_map runs one
+    program): each slab's local+halo population is measured in the virtual
+    frame and the union sizes the columns.  ``x`` (global setup positions)
+    is required — static capacity sizing needs the actual configuration."""
+    base = make_slab_spec(n_atoms, box_lengths, cutoff, skin, n_devices,
+                          x=x, **caps)
+    L = np.asarray(box_lengths, np.float64)
+    D = int(n_devices)
+    rc = cutoff + skin
+    eps = 1e-3 * rc                  # matches SpatialSimulation._virtual_boxes
+    w = L[0] / D
+    Lxv = w + 2 * rc + 2 * eps
+    xn = np.asarray(x, np.float64)
+    configs = []
+    for d in range(D):
+        lo_d = d * w - rc - eps
+        xg = np.mod(xn[:, 0] - lo_d, L[0])
+        sel = xg < Lxv
+        configs.append(np.stack(
+            [xg[sel], np.mod(xn[sel, 1], L[1]), np.mod(xn[sel, 2], L[2])],
+            axis=1))
+    col = colpack.measure_spec(configs, [Lxv, L[1], L[2]], cutoff, skin,
+                               periodic_x=False)
+    return dataclasses.replace(base, nbr=col)
 
 
 def make_mesh(n_devices: int, axis: str = "slabs") -> Mesh:
@@ -416,12 +449,22 @@ class SpatialSimulation(Simulation):
         # ---- 3. local neighbor build ---------------------------------------
         # ghost rows are candidates (j) but own no list (i): every tally is
         # owned-atom-owned, so pe/virial psums count each pair exactly twice
-        # (both directed halves) — same bookkeeping as the single-chip path
-        sim0, fout0 = self._sim_of(Fm, pe, vir, key, step, pair_box)
+        # (both directed halves) — same bookkeeping as the single-chip path.
+        # Column (fused-kernel) path: the same ColumnSpec machinery as a
+        # single chip, on the slab's non-periodic-x virtual box — padding
+        # rows are dropped via ``valid`` and ghost i-slots stop tallying
+        # pe/virial via ``restrict_i`` (the kernel analogue of i_valid).
         i_owned = jnp.concatenate(
             [rows_i[:cap_local] < nloc, jnp.zeros((2 * cap_halo,), bool)])
-        nbr = nbrmod.build(sim0.x, bin_box, sl.nbr, valid=valid,
-                           i_valid=i_owned)
+        if self._is_column:
+            sim0, fout0 = self._sim_of(Fm, pe, vir, key, step, bin_box)
+            nbr = colpack.restrict_i(
+                colpack.build(sim0.x, bin_box, self.nbr_spec, valid=valid),
+                i_owned)
+        else:
+            sim0, fout0 = self._sim_of(Fm, pe, vir, key, step, pair_box)
+            nbr = nbrmod.build(sim0.x, bin_box, sl.nbr, valid=valid,
+                               i_valid=i_owned)
         overflow |= nbr.overflow
 
         # ---- 4. nsteps of Verlet with per-step halo refresh ----------------
@@ -459,32 +502,59 @@ class SpatialSimulation(Simulation):
             sim_s = put(sim_s, rr, hval_r, cap_local + cap_halo)
             return sim_s
 
-        def body(carry, _):
-            sim_s, fout = carry
-            sim_s = fi.initial_integrate(
-                sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
-                self.cfg.u.ftm2v, self.cfg.integrator)
-            sim_s = refresh(sim_s)
-            sim_s, fout = self._forces(sim_s, nbr, run_window,
-                                       pair_params=params)
+        def clean(fout):
             # table-OOB counters are not carried across spatial blocks
-            # (ForceOut optionals would break the scan carry structure)
+            # (ForceOut optionals would break the scan carry structure); on
+            # the column path, rows dropped from the candidate structure
+            # (capacity padding) gather out-of-range garbage — zero their
+            # tallies so parked rows never move (and never look dangerous)
             fout = dataclasses.replace(fout, oob_low=None, oob_high=None)
-            sim_s = fi.final_integrate(
-                sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
-                self.cfg.u.ftm2v, self.cfg.integrator)
-            sim_s = dataclasses.replace(sim_s, step=sim_s.step + 1)
-            return (sim_s, fout), None
+            if self._is_column:
+                fout = dataclasses.replace(
+                    fout,
+                    f=jnp.where(valid[:, None], fout.f, 0.0),
+                    ucgforce=jnp.where(valid, fout.ucgforce, 0.0),
+                    scores=jnp.where(valid[:, None], fout.scores, 0.0))
+            return fout
+
+        def make_body(pair_fn):
+            def body(carry, _):
+                sim_s, fout = carry
+                sim_s = fi.initial_integrate(
+                    sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
+                    self.cfg.u.ftm2v, self.cfg.integrator)
+                sim_s = refresh(sim_s)
+                sim_s, fout = self._forces(sim_s, nbr, run_window,
+                                           pair_params=params,
+                                           pair_fn=pair_fn)
+                fout = clean(fout)
+                sim_s = fi.final_integrate(
+                    sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
+                    self.cfg.u.ftm2v, self.cfg.integrator)
+                sim_s = dataclasses.replace(sim_s, step=sim_s.step + 1)
+                return (sim_s, fout), None
+            return body
 
         if nsteps == 0:
             # Verlet::setup analogue — evaluate forces at the current
             # positions without integrating (same as Simulation.setup)
             sim1, fout1 = self._forces(sim0, nbr, run_window,
                                        pair_params=params)
-            fout1 = dataclasses.replace(fout1, oob_low=None, oob_high=None)
+            fout1 = clean(fout1)
         else:
-            (sim1, fout1), _ = jax.lax.scan(body, (sim0, fout0), None,
-                                            length=nsteps)
+            # interior steps may use the pair style's fast variant (no
+            # energy/virial); the block's last step runs the full evaluation
+            # so the carried ForceOut holds valid pe/virial for thermo —
+            # same eflag/vflag cadence as the single-chip driver
+            fast_fn = getattr(self.pair_compute, "fast_variant", None)
+            if fast_fn is not None and nsteps > 1:
+                (sim1, fout1), _ = jax.lax.scan(
+                    make_body(fast_fn), (sim0, fout0), None,
+                    length=nsteps - 1)
+                (sim1, fout1), _ = make_body(None)((sim1, fout1), None)
+            else:
+                (sim1, fout1), _ = jax.lax.scan(
+                    make_body(None), (sim0, fout0), None, length=nsteps)
         danger = nbrmod.displacement_check(nbr, sim1.x, pair_box, sl.nbr.skin)
 
         F1 = _pack_mig(sim1, fout1)
@@ -524,18 +594,40 @@ class SpatialSimulation(Simulation):
             self._fused_cache = {}
         if key_ not in self._fused_cache:
             pa, rep = P(self.slab.axis), P()
-            gspec = jax.tree_util.tree_map(lambda _: rep, self.pair_params)
-            fn = jax.shard_map(
-                partial(self._per_device_impl, nblocks=nblocks,
-                        nsteps=nsteps),
-                mesh=self.mesh,
-                in_specs=(pa, pa, rep, rep, rep, rep, rep, gspec),
-                out_specs=(pa, pa, rep, rep, rep, rep,
-                           {"overflow": rep, "danger": rep, "max_occ": rep,
-                            "migrated": rep}),
-                check_vma=False)
+            out_specs = (pa, pa, rep, rep, rep, rep,
+                         {"overflow": rep, "danger": rep, "max_occ": rep,
+                          "migrated": rep})
+            if self._is_column:
+                # the fused Pallas kernel bakes table/type structure as
+                # immediates — params must be trace-time constants, so the
+                # column path closes over them (same as the single-chip jit)
+                def impl(F, nloc, pe, vir, key, step, run_window):
+                    return self._per_device_impl(
+                        F, nloc, pe, vir, key, step, run_window,
+                        self.pair_params, nblocks=nblocks, nsteps=nsteps)
+
+                fn = jax.shard_map(
+                    impl, mesh=self.mesh,
+                    in_specs=(pa, pa, rep, rep, rep, rep, rep),
+                    out_specs=out_specs, check_vma=False)
+            else:
+                gspec = jax.tree_util.tree_map(lambda _: rep,
+                                               self.pair_params)
+                fn = jax.shard_map(
+                    partial(self._per_device_impl, nblocks=nblocks,
+                            nsteps=nsteps),
+                    mesh=self.mesh,
+                    in_specs=(pa, pa, rep, rep, rep, rep, rep, gspec),
+                    out_specs=out_specs, check_vma=False)
             self._fused_cache[key_] = jax.jit(fn)
         return self._fused_cache[key_]
+
+    def _call_fused(self, fn, run_window):
+        args = (self._F, self._nloc, self._pe, self._virial, self._key,
+                self._step, jnp.asarray(run_window))
+        if not self._is_column:
+            args = args + (self.pair_params,)
+        return fn(*args)
 
     def run_fused(self, nblocks: int, run_window=None):
         if run_window is None:
@@ -543,8 +635,7 @@ class SpatialSimulation(Simulation):
             run_window = (b, b + nblocks * self.cfg.reneigh_every)
         fn = self._fused_fn(nblocks, self.cfg.reneigh_every)
         (self._F, self._nloc, self._pe, self._virial, self._key, self._step,
-         fl) = fn(self._F, self._nloc, self._pe, self._virial, self._key,
-                  self._step, jnp.asarray(run_window), self.pair_params)
+         fl) = self._call_fused(fn, run_window)
         if self.cfg.check_safety:
             if bool(fl["overflow"]):
                 raise RuntimeError(
@@ -589,8 +680,7 @@ class SpatialSimulation(Simulation):
         (the Verlet::setup analogue; matches Simulation.setup semantics)."""
         fn = self._fused_fn(nblocks=1, nsteps=0)
         (self._F, self._nloc, self._pe, self._virial, self._key, self._step,
-         fl) = fn(self._F, self._nloc, self._pe, self._virial, self._key,
-                  self._step, jnp.asarray(run_window), self.pair_params)
+         fl) = self._call_fused(fn, run_window)
         if bool(fl["overflow"]):
             raise RuntimeError("spatial capacity exceeded at setup")
 
