@@ -108,7 +108,17 @@ def _priors(params: BetheDensityParams, typ, rho):
 
 
 def compute(state: SimState, nbr: NeighborList,
-            params: BetheDensityParams) -> ForceOut:
+            params: BetheDensityParams, xchg=None) -> ForceOut:
+    """``xchg`` (optional): halo exchange of per-atom derived quantities —
+    the analogue of the reference's phase-boundary ``comm->forward_comm``
+    (P4 does it at pair_table_rleucg_interface.cpp:277-278; P3's is a no-op
+    bug, SURVEY.md §7.4).  A spatial slab driver passes a callable that
+    replaces ghost rows with the owner's values; it is applied to ρ after
+    phase 1 (ghost densities computed locally see truncated neighborhoods)
+    and to the CV force after phase 2 (ghost cv forces additionally embed
+    pair sums needing 2·rc of context).  None = single-domain (identity)."""
+    if xchg is None:
+        xchg = lambda a: a
     x, typ = state.x, state.typ
     bank, tp = params.bank, params.tp
     kT = params.kT
@@ -140,6 +150,7 @@ def compute(state: SimState, nbr: NeighborList,
 
     (rho, n_real), _ = common.map_row_chunks(
         pass1, n, chunk, (idx, x, typ, radius_all))
+    rho = xchg(rho)
 
     prior, partial0 = _priors(params, typ, rho)       # (N,2), (N,)
     pi1_all = prior[:, 1]
@@ -227,7 +238,7 @@ def compute(state: SimState, nbr: NeighborList,
     # under the reference's [0]-is-threshold ordering (:251-254).
     partial = jnp.stack([partial0, -partial0], axis=-1)
     cvf_all = jnp.sum(pforce * partial, axis=-1)      # (N,)
-    cvf_all = jnp.where(use_den, cvf_all, 0.0)
+    cvf_all = xchg(jnp.where(use_den, cvf_all, 0.0))
 
     def pass3(args):
         idx_r, xi, ti_r, cvf_r, rad_r = args
@@ -254,3 +265,6 @@ def compute(state: SimState, nbr: NeighborList,
         f=f + fcv, ucgforce=jnp.zeros_like(rho), scores=scores, pe=pe,
         virial=virial + vir_cv, ucgp=ucgp, oob_low=oob_lo, oob_high=oob_hi,
     )
+
+
+compute.supports_halo_xchg = True

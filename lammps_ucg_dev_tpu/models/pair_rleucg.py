@@ -102,7 +102,18 @@ def substate_probs(params: RLEUCGParams, typ: jax.Array, rho: jax.Array):
     return probs, partial
 
 
-def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams) -> ForceOut:
+def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams,
+            xchg=None) -> ForceOut:
+    """``xchg`` (optional): halo exchange of per-atom derived quantities
+    between phases — the TPU-native analogue of the reference's
+    ``comm->forward_comm(this)`` of (prob, partial, force) per substate
+    (pair_table_rleucg_interface.cpp:277-278, pack/unpack :104-160).  A
+    spatial slab driver passes a callable replacing ghost rows with owner
+    values; applied to ρ after phase 1 and the CV force after phase 2
+    (ghost values computed locally would see truncated neighborhoods).
+    None = single-domain (identity)."""
+    if xchg is None:
+        xchg = lambda a: a
     x, typ = state.x, state.typ
     bank = params.bank
     kT = params.kT
@@ -135,6 +146,7 @@ def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams) -> ForceOu
 
     (rho,), _ = common.map_row_chunks(pass1, n, chunk,
                                       (idx, x, typ, radius_all))
+    rho = xchg(rho)
     probs_all, partial = substate_probs(params, typ, rho)  # (N, Smax)
 
     # ---- phase 2 (chunked): mean-field forces + probability feedback ------
@@ -196,7 +208,7 @@ def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams) -> ForceOu
     pforce = pforce_one + pforce_fb
 
     # ---- phase 3 (chunked): CV back-force (:444-502) -----------------------
-    cvf_all = jnp.sum(pforce * partial, axis=-1)            # (N,)
+    cvf_all = xchg(jnp.sum(pforce * partial, axis=-1))      # (N,)
     sign = -1.0 if params.conservative_sign else 1.0
 
     def pass3(args):
@@ -220,6 +232,9 @@ def compute(state: SimState, nbr: NeighborList, params: RLEUCGParams) -> ForceOu
         f=f + fcv, ucgforce=zeros, scores=jnp.zeros((n, 2), x.dtype),
         pe=pe, virial=virial + vir_cv, oob_low=oob_lo, oob_high=oob_hi,
     )
+
+
+compute.supports_halo_xchg = True
 
 
 def potential_energy(x: jax.Array, state: SimState, nbr: NeighborList,

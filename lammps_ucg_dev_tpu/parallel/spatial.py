@@ -470,6 +470,35 @@ class SpatialSimulation(Simulation):
         # ---- 4. nsteps of Verlet with per-step halo refresh ----------------
         mass = self._masses_by_type.astype(dt_)[sim0.typ]
 
+        def xchg(a):
+            """Halo exchange of a per-atom derived array ((N,) or (N, K)):
+            ghost rows get the OWNER's values — the phase-boundary forward
+            comm the density styles need (pair_table_rleucg_interface.cpp:
+            277-278); ghost densities/CV forces computed locally would see
+            truncated neighborhoods."""
+            vec = a.ndim == 1
+            a2 = a[:, None] if vec else a
+            rl = jax.lax.ppermute(jnp.take(a2, src_r, axis=0), axis, perm_r)
+            rr = jax.lax.ppermute(jnp.take(a2, src_l, axis=0), axis, perm_l)
+
+            def put(dst, recv, hval, base):
+                cur = jax.lax.dynamic_slice_in_dim(dst, base, cap_halo)
+                new = jnp.where(hval[:, None], recv, cur)
+                return jax.lax.dynamic_update_slice_in_dim(dst, new, base,
+                                                           axis=0)
+
+            a2 = put(a2, rl, hval_l, cap_local)
+            a2 = put(a2, rr, hval_r, cap_local + cap_halo)
+            return a2[:, 0] if vec else a2
+
+        def wrap_pair(fn):
+            """Bind the phase-boundary halo exchange into styles that
+            declare they need it (density styles P3/P4)."""
+            target = fn if fn is not None else self.pair_compute
+            if getattr(target, "supports_halo_xchg", False):
+                return lambda s, nb_, p: target(s, nb_, p, xchg=xchg)
+            return fn
+
         def refresh(sim_s):
             dyn = jnp.stack([sim_s.x[:, 0], sim_s.x[:, 1], sim_s.x[:, 2],
                              sim_s.ucgl,
@@ -504,11 +533,14 @@ class SpatialSimulation(Simulation):
 
         def clean(fout):
             # table-OOB counters are not carried across spatial blocks
-            # (ForceOut optionals would break the scan carry structure); on
-            # the column path, rows dropped from the candidate structure
-            # (capacity padding) gather out-of-range garbage — zero their
-            # tallies so parked rows never move (and never look dangerous)
-            fout = dataclasses.replace(fout, oob_low=None, oob_high=None)
+            # (ForceOut optionals would break the scan carry structure), and
+            # P3's fused posterior is already applied to state.ucgp inside
+            # _forces; on the column path, rows dropped from the candidate
+            # structure (capacity padding) gather out-of-range garbage —
+            # zero their tallies so parked rows never move (and never look
+            # dangerous)
+            fout = dataclasses.replace(fout, oob_low=None, oob_high=None,
+                                       ucgp=None)
             if self._is_column:
                 fout = dataclasses.replace(
                     fout,
@@ -526,7 +558,7 @@ class SpatialSimulation(Simulation):
                 sim_s = refresh(sim_s)
                 sim_s, fout = self._forces(sim_s, nbr, run_window,
                                            pair_params=params,
-                                           pair_fn=pair_fn)
+                                           pair_fn=wrap_pair(pair_fn))
                 fout = clean(fout)
                 sim_s = fi.final_integrate(
                     sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
@@ -539,7 +571,8 @@ class SpatialSimulation(Simulation):
             # Verlet::setup analogue — evaluate forces at the current
             # positions without integrating (same as Simulation.setup)
             sim1, fout1 = self._forces(sim0, nbr, run_window,
-                                       pair_params=params)
+                                       pair_params=params,
+                                       pair_fn=wrap_pair(None))
             fout1 = clean(fout1)
         else:
             # interior steps may use the pair style's fast variant (no
