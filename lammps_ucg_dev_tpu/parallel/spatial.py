@@ -812,11 +812,11 @@ class SpatialSimulation(Simulation):
 
     def run(self, nsteps: int, thermo_every: int = 0, thermo_callback=None):
         re_ = self.cfg.reneigh_every
-        if nsteps % re_:
-            raise ValueError("spatial run length must be a multiple of "
-                             "reneigh_every")
+        trailing = nsteps % re_
+        nsteps -= trailing
         if self.cswitch is None:
-            self.run_fused(nsteps // re_)
+            if nsteps:
+                self.run_fused(nsteps // re_)
         else:
             # segment at cluster_switch cadence: an event opens every
             # segment whose start step is a positive multiple of the switch
@@ -830,6 +830,17 @@ class SpatialSimulation(Simulation):
                 todo = min(nsteps - done, until)
                 self.run_fused(todo // re_, do_cswitch=do_cs)
                 done += todo
+        if trailing:
+            # short trailing block (its own compiled program; a rebuild
+            # opens it like any other block)
+            if not self._setup_done:
+                self.setup((int(self._step), int(self._step) + trailing))
+            b = int(self._step)
+            fn = self._fused_fn(1, trailing)
+            (self._F, self._nloc, self._pe, self._virial, self._key,
+             self._step, fl) = self._call_fused(fn, (b, b + trailing))
+            if self.cfg.check_safety and bool(fl["overflow"]):
+                raise RuntimeError("spatial capacity exceeded")
         state, _ = self.gather()
         return state
 
@@ -852,11 +863,67 @@ class SpatialSimulation(Simulation):
                 fh.write(f"{step} " + " ".join(map(str, ms.tolist())) + "\n")
 
     def thermo(self) -> dict:
-        """Global thermo from the gathered state (host-side convenience)."""
-        state, fout = self.gather()
-        saved = (self.state, self._fcarry)
-        self.state, self._fcarry = state, fout
-        try:
-            return Simulation.thermo(self)
-        finally:
-            self.state, self._fcarry = saved
+        """Global thermo scalars via ONE device-side psum reduction — no
+        O(N) host gather (production thermo cadence at 1M × 8 chips; the
+        reference's Thermo::compute + MPI_Allreduce).  Matches
+        Simulation.thermo's row exactly (test_spatial_thermo_matches)."""
+        if not hasattr(self, "_thermo_sp_fn"):
+            u = self.cfg.u
+            sl = self.slab
+            cfg = self.cfg
+            tp = getattr(self.pair_params, "tp", None)
+
+            def impl(F, nloc, pe, vir):
+                nloc0 = nloc[0]
+                dt_ = F.dtype
+                owned = jnp.arange(sl.cap_tot, dtype=jnp.int32) < nloc0
+                typ = jnp.round(F[:, 10]).astype(jnp.int32)
+                mass = self._masses_by_type.astype(dt_)[typ]
+                v2 = jnp.sum(F[:, 3:6] ** 2, axis=1)
+                ke = 0.5 * jnp.sum(jnp.where(owned, mass * v2, 0.0)) * u.mvv2e
+                ke_lam = 0.5 * jnp.sum(
+                    jnp.where(owned, F[:, 16] * F[:, 15] ** 2, 0.0)) * u.mvv2e
+                if cfg.integrator.wall and cfg.integrator.bias_potential:
+                    be = fi.bias_energy(F[:, 14], cfg.integrator.barrier)
+                    if tp is not None:
+                        be = jnp.where(tp.n_states[typ] > 1, be, 0.0)
+                    if cfg.integrator.group is not None:
+                        tag = jnp.round(F[:, 9]).astype(jnp.int32)
+                        g = jnp.asarray(cfg.integrator.group)[tag - 1]
+                        be = jnp.where(g, be, 0.0)
+                    pe_bias = jnp.sum(jnp.where(owned, be, 0.0))
+                else:
+                    pe_bias = jnp.zeros((), dt_)
+                loc = jnp.stack([ke, ke_lam, pe_bias])
+                tot = jax.lax.psum(loc, sl.axis)
+                return tot, pe, vir
+
+            pa, rep = P(sl.axis), P()
+            self._thermo_sp_fn = jax.jit(jax.shard_map(
+                impl, mesh=self.mesh, in_specs=(pa, pa, rep, rep),
+                out_specs=(rep, rep, rep), check_vma=False))
+        tot, pe, vir = self._thermo_sp_fn(self._F, self._nloc, self._pe,
+                                          self._virial)
+        tot = np.asarray(tot)
+        ke, ke_lambda, pe_bias = (float(v) for v in tot)
+        pe = float(pe)
+        vir = np.asarray(vir)
+        u = self.cfg.u
+        n = self.n_global
+        box = self._host_box
+        vol = float(np.prod(box["L"]))
+        virial_tr = float(vir[0] + vir[1] + vir[2])
+        dof = max(3 * n - 3, 1)
+        temp = 2.0 * ke / (dof * u.boltz)
+        lam_t = ke_lambda / (0.5 * u.boltz * n)
+        press = (2.0 * ke + virial_tr) / (3.0 * vol) * u.nktv2p
+        return {
+            "step": int(self._step),
+            "temp": temp,
+            "pe": pe + pe_bias,
+            "ke": ke,
+            "ke_lambda": ke_lambda,
+            "lambda_temp": lam_t,
+            "etotal": ke + pe + pe_bias + ke_lambda,
+            "press": press,
+        }

@@ -243,6 +243,22 @@ def test_spatial_cluster_switch_matches_unsharded_32k():
                                   np.asarray(sim1.cswitch_stats.v))
 
 
+def test_spatial_run_non_multiple_of_reneigh():
+    """run() lengths need not divide reneigh_every: the remainder runs as a
+    short trailing block (single-chip driver parity)."""
+    n = 8192
+    system, state, compute, params, rc, cfg, L = _mk(n=n, style="ucgld")
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell")
+    sim1 = Simulation(system, state, compute, params, spec, cfg)
+    sim1.run(12)                       # 2 blocks of 5 + trailing 2
+    slab = spatial.make_slab_spec(n, [L] * 3, rc, 0.4, 8,
+                                  x=np.asarray(state.x))
+    sim2 = spatial.SpatialSimulation(system, state, compute, params, slab,
+                                     cfg)
+    sim2.run(12)
+    _assert_equal(sim1, sim2)
+
+
 def test_spatial_halo_overflow_raises():
     system, state, compute, params, rc, cfg, L = _mk(n=16384, style="ucgld")
     # a 16k fluid still has >8 atoms per halo layer: force the flag
