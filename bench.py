@@ -135,6 +135,11 @@ def run_phases(n: int, reps: int = 30) -> dict:
         pair_fast = jax.jit(lambda s, c: fast(s, c, sim.pair_params))
         out["pair_fast_ns_atom"] = round(
             timeit(pair_fast, state, nbr) / n * 1e9, 2)
+    nos = getattr(sim.pair_compute, "fast_variant_noscores", None)
+    if nos is not None and sim._scores_inert:
+        pair_nos = jax.jit(lambda s, c: nos(s, c, sim.pair_params))
+        out["pair_fast_noscores_ns_atom"] = round(
+            timeit(pair_nos, state, nbr) / n * 1e9, 2)
     build = jax.jit(sim._nbr_build)
     out["nbr_build_ns_atom"] = round(timeit(build, state) / n * 1e9, 2)
     if isinstance(sim.nbr_spec, colpack.ColumnSpec):

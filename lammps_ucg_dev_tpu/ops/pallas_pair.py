@@ -76,7 +76,7 @@ def _type_classes(tp, n_tables: int) -> tuple:
 
 
 def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
-            *refs0):
+            dform, want_scores, *refs0):
     """One program: G i-clusters vs 9 DMA'd stencil-column windows.
 
     ``style`` selects the per-candidate physics on the shared window/DMA
@@ -87,15 +87,25 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
     (from ucgp), and scal slot 6 carries kT.  ``mf`` selects the mean-field
     p11 = pi1·pj1 ("method mf").
 
-    ``classes``: static (ti, tj, (i00, i01, i10, i11)) tuples mapping the
-    2x2 state-combination block to channel rows (the bank holds 2·n_tables
-    rows: all e rows then all f rows).  One class = static indexing, zero
-    runtime cost; multiple classes = mask-weighted sum over ordered type
-    pairs (ipack/window attr 7 carry the actual type).  None = the legacy
-    identity unpack (rows are exactly e00..e11, f00..f11).
+    All mixing runs in the **D-form basis** (A=00, B=10−00, C=01−00,
+    D=11−01−10+00): both styles' 2x2 state mixtures reduce to
+    ``A + wB·B + wC·C + wD·D`` with weights (λi, λj, λiλj) for ucgld and
+    (pi1, pj1, p11) for Bethe, the λ-force is ``−(eB + λj·eD)``, the Bethe
+    coupling is J = eD, and pseudolikelihood scores are ``−(eA + sj·eC)`` /
+    ``−(eA+eB + sj·(eC+eD))`` — ~10 fewer VPU ops/candidate than the raw
+    w00..w11 algebra.  With ``dform`` the A..D combination is already baked
+    into the Chebyshev coefficient rows (single-class systems, zero runtime
+    cost); otherwise the 2x2 block is assembled from raw channel rows
+    (identity or class-mask-weighted over ordered type pairs; ipack/window
+    attr 7 carry the actual type) and converted in-kernel.
 
-    scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, dom_lo, dom_hi,
-             kT, .]
+    ``want_scores=False`` (fast ucgld only) drops the score tallies AND the
+    eA/eC channel rows entirely — valid when the deck has no score feedback
+    (``fix ucgstate`` absent or in ``ld`` mode, where ucgp is observable-
+    only); the driver re-scores on full-kernel steps.
+
+    scal_ref (SMEM, (1,8) f32): [Lx, Ly, cutsq, innersq, uscale, uoff,
+             kT, .] — u = rsq·uscale + uoff maps the Chebyshev domain
     meta_ref (SMEM, (8,32) i32): rows [9 stencil cols, 9 page ids,
              9 encoded xy image shifts, pad]
     ipack_ref (G*8, 8): own real slots [x y z λ state valid 0 0]
@@ -114,7 +124,6 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
     else:
         out_ref, jwin, sems = refs
         out2_ref = None
-    gs = G * CL
     # meta rows come in 8-row SMEM blocks (TPU block-shape legality); this
     # program's row is p % 8 within its block
     mrow = pl.program_id(0) % 8
@@ -132,16 +141,8 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
     Ly = scal_ref[0, 1]
     cutsq = scal_ref[0, 2]
     innersq = scal_ref[0, 3]
-    dom_lo = scal_ref[0, 4]
-    dom_hi = scal_ref[0, 5]
-
-    p = pl.program_id(0)
-    col = p // gpc
-    g = p - col * gpc
-    base_e = col * czp + gz + g * gs          # extended slot id of i row 0
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0).astype(jnp.float32)
+    uscale = scal_ref[0, 4]
+    uoff = scal_ref[0, 5]
 
     for s in range(NSTEN):
         window_dma(s).wait()
@@ -160,35 +161,53 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
         vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
         oob_t = jnp.zeros((), jnp.float32)
 
-    for b in range(G):
-        sl = slice(b * CL, (b + 1) * CL)
-        xi = ipack_ref[sl, 0:1]
-        yi = ipack_ref[sl, 1:2]
-        zi = ipack_ref[sl, 2:3]
-        li = ipack_ref[sl, 3:4]
-        vi = ipack_ref[sl, 5:6]
-        gidi = (base_e + b * CL).astype(jnp.float32) + sub     # (CL, 1)
+    want_eac = want_scores or observe or style != "ucgld"
+    # loop order: STENCIL WINDOW outer, cluster inner — the 4-6 j-attribute
+    # row loads are issued once per window instead of once per (cluster,
+    # window); per-cluster accumulators persist across the window loop
+    xi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 0:1] for b in range(G)]
+    yi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 1:2] for b in range(G)]
+    zi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 2:3] for b in range(G)]
+    li_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 3:4] for b in range(G)]
+    vi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 5:6] for b in range(G)]
 
-        fx = jnp.zeros((CL, W), jnp.float32)
-        fy = jnp.zeros((CL, W), jnp.float32)
-        fz = jnp.zeros((CL, W), jnp.float32)
-        lamf = jnp.zeros((CL, W), jnp.float32)
-        s0 = jnp.zeros((CL, W), jnp.float32)
-        s1 = jnp.zeros((CL, W), jnp.float32)
+    def zeros_b():
+        return [jnp.zeros((CL, W), jnp.float32) for _ in range(G)]
+
+    fx_b, fy_b, fz_b = zeros_b(), zeros_b(), zeros_b()
+    if style == "ucgld":
+        lamf_b = zeros_b()
+    if want_scores:
+        s0_b, s1_b = zeros_b(), zeros_b()
+    if observe:
+        pe_b = zeros_b()
+        vir_b = [[jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
+                 for _ in range(G)]
+        oob_b = zeros_b()
+
+    for s in range(NSTEN):
+        xj = jwin[s, 0:1, :]
+        yj = jwin[s, 1:2, :]
+        zj = jwin[s, 2:3, :]
+        lj = jwin[s, 3:4, :]
+        if want_scores:
+            sjr = jwin[s, 4:5, :]
         if observe:
-            pe = jnp.zeros((CL, W), jnp.float32)
-            vir = [jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
-            oob = jnp.zeros((CL, W), jnp.float32)
+            vjr = jwin[s, 5:6, :]
 
-        for s in range(NSTEN):
-            c = meta_ref[mrow, s]
-            z0 = meta_ref[mrow, NSTEN + s] * S
-            xj = jwin[s, 0:1, :]
-            yj = jwin[s, 1:2, :]
-            zj = jwin[s, 2:3, :]
-            lj = jwin[s, 3:4, :]
-            sj = jwin[s, 4:5, :]
-            gidj = (c * czp + z0).astype(jnp.float32) + lane   # (1, W)
+        for b in range(G):
+            sl = slice(b * CL, (b + 1) * CL)
+            xi, yi, zi, li, vi = (xi_b[b], yi_b[b], zi_b[b], li_b[b],
+                                  vi_b[b])
+            fx, fy, fz = fx_b[b], fy_b[b], fz_b[b]
+            if style == "ucgld":
+                lamf = lamf_b[b]
+            if want_scores:
+                s0, s1 = s0_b[b], s1_b[b]
+            if observe:
+                pe = pe_b[b]
+                vir = vir_b[b]
+                oob = oob_b[b]
 
             dx = xi - xj                       # windows carry shifted x/y
             dy = yi - yj
@@ -196,16 +215,20 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
             rsq = dx * dx + dy * dy + dz * dz
 
             # pad slots carry poisoned coordinates (colpack._PAD_POISON), so
-            # rsq < cutsq covers slot validity; the full kernel keeps the
-            # valid-flag masks as belt-and-braces for pe/virial exactness
-            mask = (rsq < cutsq) & (gidi != gidj)
+            # rsq < cutsq covers slot validity; rsq > 0 excludes self (a pair
+            # of distinct atoms at the exact same position would be singular
+            # in any MD formulation).  The full kernel keeps the valid-flag
+            # masks as belt-and-braces for pe/virial exactness.
+            mask = (rsq < cutsq) & (rsq > 0.0)
             if observe:
-                vj = jwin[s, 5:6, :]
-                mask = mask & (vj > 0.5) & (vi > 0.5)
+                mask = mask & (vjr > 0.5) & (vi > 0.5)
                 oob = oob + jnp.where(mask & (rsq < innersq), 1.0, 0.0)
 
-            u = 2.0 * (rsq - dom_lo) / (dom_hi - dom_lo) - 1.0
-            u = jnp.clip(u, -1.0, 1.0)
+            # lower clamp only (table inner-bin clamp); past-cutoff lanes run
+            # the recurrence unclamped (u up to ~1e34 from pad poison → inf/
+            # NaN) — every accumulation below selects them out via ``mask``
+            u = jnp.maximum(rsq * uscale + uoff, -1.0)
+            u2 = u + u
 
             # shared-basis Chebyshev: one T_k recurrence, all channel dots
             nrow = len(ce)
@@ -214,69 +237,68 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
             tm2 = jnp.ones_like(u)
             tm1 = u
             for k in range(2, degree):
-                tk = 2.0 * u * tm1 - tm2
+                tk = u2 * tm1 - tm2
                 for r in range(nrow):
                     acc[r] = acc[r] + ce[r][k] * tk
                 tm2, tm1 = tm1, tk
-            if classes is None:
-                e00, e01, e10, e11, f00, f01, f10, f11 = acc
-            elif len(classes) == 1:
-                # one actual type: the channel selection is static — zero
-                # runtime cost (this also honors the reference's init_one
-                # symmetrization where the 01 table serves both cross
-                # combos, pair_table_ucgld.cpp:892)
-                T = nrow // 2
-                ids = classes[0][2]
-                e00, e01, e10, e11 = (acc[ids[0]], acc[ids[1]],
-                                      acc[ids[2]], acc[ids[3]])
-                f00, f01, f10, f11 = (acc[T + ids[0]], acc[T + ids[1]],
-                                      acc[T + ids[2]], acc[T + ids[3]])
+
+            # ---- 2x2 state block in D-form ----------------------------------
+            if dform:
+                if want_eac:
+                    eA, eB, eC, eD, fA, fB, fC, fD = acc
+                else:
+                    eB, eD, fA, fB, fC, fD = acc
+                    eA = eC = None
             else:
-                # class-mask-weighted 2x2 block assembly: ordered type
-                # pairs select which channel rows form e00..f11 (mti is
-                # (CL,1), mtj (1,W) — the product broadcasts per candidate)
-                T = nrow // 2
-                tiv = ipack_ref[sl, 7:8]
-                tjv = jwin[s, 7:8, :]
-                e00 = e01 = e10 = e11 = None
-                f00 = f01 = f10 = f11 = None
-                for (tci, tcj, ids) in classes:
-                    mti = (tiv == float(tci)).astype(jnp.float32)
-                    mtj = (tjv == float(tcj)).astype(jnp.float32)
-                    m = mti * mtj
-                    vals = [m * acc[ids[q]] for q in range(4)]
-                    fvals = [m * acc[T + ids[q]] for q in range(4)]
-                    if e00 is None:
-                        e00, e01, e10, e11 = vals
-                        f00, f01, f10, f11 = fvals
-                    else:
-                        e00 = e00 + vals[0]
-                        e01 = e01 + vals[1]
-                        e10 = e10 + vals[2]
-                        e11 = e11 + vals[3]
-                        f00 = f00 + fvals[0]
-                        f01 = f01 + fvals[1]
-                        f10 = f10 + fvals[2]
-                        f11 = f11 + fvals[3]
+                if classes is None:
+                    e00, e01, e10, e11, f00, f01, f10, f11 = acc
+                elif len(classes) == 1:
+                    # one actual type: static channel selection (honors the
+                    # reference's init_one symmetrization where the 01 table
+                    # serves both cross combos, pair_table_ucgld.cpp:892)
+                    T = nrow // 2
+                    ids = classes[0][2]
+                    e00, e01, e10, e11 = (acc[ids[0]], acc[ids[1]],
+                                          acc[ids[2]], acc[ids[3]])
+                    f00, f01, f10, f11 = (acc[T + ids[0]], acc[T + ids[1]],
+                                          acc[T + ids[2]], acc[T + ids[3]])
+                else:
+                    # class-mask-weighted 2x2 block assembly: ordered type
+                    # pairs select which channel rows form e00..f11 (mti is
+                    # (CL,1), mtj (1,W) — the product broadcasts per candidate)
+                    T = nrow // 2
+                    tiv = ipack_ref[sl, 7:8]   # (CL,1) narrow load; cheap
+                    tjv = jwin[s, 7:8, :]      # shared across b — Mosaic CSEs
+                    e00 = e01 = e10 = e11 = None
+                    f00 = f01 = f10 = f11 = None
+                    for (tci, tcj, ids) in classes:
+                        mti = (tiv == float(tci)).astype(jnp.float32)
+                        mtj = (tjv == float(tcj)).astype(jnp.float32)
+                        m = mti * mtj
+                        vals = [m * acc[ids[q]] for q in range(4)]
+                        fvals = [m * acc[T + ids[q]] for q in range(4)]
+                        if e00 is None:
+                            e00, e01, e10, e11 = vals
+                            f00, f01, f10, f11 = fvals
+                        else:
+                            e00 = e00 + vals[0]
+                            e01 = e01 + vals[1]
+                            e10 = e10 + vals[2]
+                            e11 = e11 + vals[3]
+                            f00 = f00 + fvals[0]
+                            f01 = f01 + fvals[1]
+                            f10 = f10 + fvals[2]
+                            f11 = f11 + fvals[3]
+                eA, eB, eC = e00, e10 - e00, e01 - e00
+                eD = (e11 - e01) - (e10 - e00)
+                fA, fB, fC = f00, f10 - f00, f01 - f00
+                fD = (f11 - f01) - (f10 - f00)
 
             zero = jnp.zeros_like(u)
             if style == "ucgld":
-                mi = 1.0 - li
-                mj = 1.0 - lj
-                w00 = mi * mj
-                w01 = mi * lj
-                w10 = li * mj
-                w11 = li * lj
-                fmix = jnp.where(
-                    mask, w00 * f00 + w01 * f01 + w10 * f10 + w11 * f11,
-                    zero)
-                if observe:
-                    emix = jnp.where(
-                        mask, w00 * e00 + w01 * e01 + w10 * e10 + w11 * e11,
-                        zero)
-                # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00))
-                lamf = lamf - jnp.where(
-                    mask, lj * (e11 - e01) + mj * (e10 - e00), zero)
+                wB = li
+                wC = lj
+                wD = li * lj
             else:  # bethe: closed-form two-point distribution (:544-581)
                 pi1 = ipack_ref[sl, 6:7]       # i-role prior (from ucgl)
                 pj1 = jnp.where(mask, lj, zero)  # j-role prior (from ucgp)
@@ -285,12 +307,12 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
                     p11 = pipj
                 else:
                     kT = scal_ref[0, 6]
-                    J = e11 + e00 - e01 - e10
+                    # J = u11+u00-u01-u10 is exactly the D channel
                     # overflow guard: the reference clamps at -700 kT
                     # (f64, :545-548); in f32 the closed form's Q² term
                     # overflows past e^44, so clamp at 40 — beyond it p11
                     # is saturated to the aligned limit within ~e-40 anyway
-                    xk = jnp.minimum(-J / kT, 40.0)
+                    xk = jnp.minimum(-eD / kT, 40.0)
                     bb = jnp.exp(xk)
                     aa = bb - 1.0                      # expm1: the |a|<eps
                     # mean-field fallback below covers the cancellation zone
@@ -302,47 +324,54 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
                     root_neg = (Q - sqD) / (2.0 * jnp.where(small, 1.0, aa))
                     p11 = jnp.where(Q < 0.0, root_neg, root_pos)
                     p11 = jnp.where(small, pipj, p11)
-                p00 = jnp.where(mask, 1.0 + p11 - pi1 - pj1, zero)
-                p10 = pi1 - p11
-                p01 = pj1 - p11
-                fmix = jnp.where(
-                    mask,
-                    p00 * f00 + p01 * f01 + p10 * f10 + p11 * f11, zero)
-                if observe:
-                    emix = jnp.where(
-                        mask,
-                        p00 * e00 + p01 * e01 + p10 * e10 + p11 * e11, zero)
+                wB, wC, wD = pi1, pj1, p11
 
-            fx = fx + fmix * dx
-            fy = fy + fmix * dy
-            fz = fz + fmix * dz
+            fmix = jnp.where(mask, fA + wB * fB + wC * fC + wD * fD, zero)
+            fx_b[b] = fx + fmix * dx
+            fy_b[b] = fy + fmix * dy
+            fz_b[b] = fz + fmix * dz
+            if style == "ucgld":
+                # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00)) = -(eB + lj eD)
+                lamf_b[b] = lamf - jnp.where(mask, eB + lj * eD, zero)
             if observe:
-                pe = pe + emix
+                emix = jnp.where(mask, eA + wB * eB + wC * eC + wD * eD,
+                                 zero)
+                pe_b[b] = pe + emix
                 vir[0] = vir[0] + fmix * dx * dx
                 vir[1] = vir[1] + fmix * dy * dy
                 vir[2] = vir[2] + fmix * dz * dz
                 vir[3] = vir[3] + fmix * dx * dy
                 vir[4] = vir[4] + fmix * dx * dz
                 vir[5] = vir[5] + fmix * dy * dz
+                oob_b[b] = oob
 
-            # pseudolikelihood scores at the partner's discrete state
-            sj1 = sj > 0.5
-            s0 = s0 - jnp.where(mask, jnp.where(sj1, e01, e00), zero)
-            s1 = s1 - jnp.where(mask, jnp.where(sj1, e11, e10), zero)
+            if want_scores:
+                # pseudolikelihood scores at the partner's discrete state
+                # (sj ∈ {0.0, 1.0} exactly, so the select is a clean FMA)
+                s0_b[b] = s0 - jnp.where(mask, eA + sjr * eC, zero)
+                s1_b[b] = s1 - jnp.where(mask,
+                                         (eA + eB) + sjr * (eC + eD), zero)
 
-        out_ref[sl, 0:1] = jnp.sum(fx, axis=1, keepdims=True)
-        out_ref[sl, 1:2] = jnp.sum(fy, axis=1, keepdims=True)
-        out_ref[sl, 2:3] = jnp.sum(fz, axis=1, keepdims=True)
-        out_ref[sl, 3:4] = jnp.sum(lamf, axis=1, keepdims=True)
-        out_ref[sl, 4:5] = jnp.sum(s0, axis=1, keepdims=True)
-        out_ref[sl, 5:6] = jnp.sum(s1, axis=1, keepdims=True)
+    for b in range(G):
+        sl = slice(b * CL, (b + 1) * CL)
+        out_ref[sl, 0:1] = jnp.sum(fx_b[b], axis=1, keepdims=True)
+        out_ref[sl, 1:2] = jnp.sum(fy_b[b], axis=1, keepdims=True)
+        out_ref[sl, 2:3] = jnp.sum(fz_b[b], axis=1, keepdims=True)
+        zcol = jnp.zeros((CL, 1), jnp.float32)
+        out_ref[sl, 3:4] = (jnp.sum(lamf_b[b], axis=1, keepdims=True)
+                            if style == "ucgld" else zcol)
+        if want_scores:
+            out_ref[sl, 4:5] = jnp.sum(s0_b[b], axis=1, keepdims=True)
+            out_ref[sl, 5:6] = jnp.sum(s1_b[b], axis=1, keepdims=True)
+        else:
+            out_ref[sl, 4:6] = jnp.zeros((CL, 2), jnp.float32)
         out_ref[sl, 6:8] = jnp.zeros((CL, 2), jnp.float32)
 
         if observe:
-            pe_t = pe_t + jnp.sum(pe)
+            pe_t = pe_t + jnp.sum(pe_b[b])
             for v in range(6):
-                vir_t[v] = vir_t[v] + jnp.sum(vir[v])
-            oob_t = oob_t + jnp.sum(oob)
+                vir_t[v] = vir_t[v] + jnp.sum(vir_b[b][v])
+            oob_t = oob_t + jnp.sum(oob_b[b])
 
     if observe:
         row = jnp.concatenate([
@@ -354,16 +383,42 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
 
 def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
                 observe: bool, style: str, mf: bool, interpret: bool,
-                classes: "tuple | None" = None):
-    """Shared pallas_call scaffolding for every kernel style."""
+                classes: "tuple | None" = None, want_scores: bool = True):
+    """Shared pallas_call scaffolding for every kernel style.
+
+    Single-class systems get the D-form transform at the COEFFICIENT level
+    (rows become [eA eB eC eD fA fB fC fD], or [eB eD fA..fD] when scores
+    are skipped) — the 2x2 mixing basis change costs nothing at runtime.
+    Multi-class systems keep raw channel rows (shared across classes) and
+    convert in-kernel after mask assembly."""
     interpret = _auto_interpret(interpret)
     dtype = jnp.float32
     G, gs, gpc = cl.G, cl.gs, cl.cz // cl.gs
     n_prog = cl.n_prog
-    ce = [[float(c) for c in row]
-          for row in np.asarray(cheb.coeffs, np.float64)]
+    ce_np = np.asarray(cheb.coeffs, np.float64)
+    dform = classes is not None and len(classes) == 1
+    if dform:
+        T = ce_np.shape[0] // 2
+        i00, i01, i10, i11 = classes[0][2]
+
+        def _abcd(base):
+            A = ce_np[base + i00]
+            return (A, ce_np[base + i10] - A, ce_np[base + i01] - A,
+                    (ce_np[base + i11] - ce_np[base + i01])
+                    - (ce_np[base + i10] - ce_np[base + i00]))
+
+        eA, eB, eC, eD = _abcd(0)
+        fA, fB, fC, fD = _abcd(T)
+        if want_scores or observe or style != "ucgld":
+            rows = [eA, eB, eC, eD, fA, fB, fC, fD]
+        else:
+            rows = [eB, eD, fA, fB, fC, fD]
+        ce = [[float(c) for c in r] for r in rows]
+    else:
+        ce = [[float(c) for c in row] for row in ce_np]
     kern = functools.partial(_kernel, ce, cheb.degree, G, gpc, cl.czp, cl.gz,
-                             cl.S, observe, style, mf, classes)
+                             cl.S, observe, style, mf, classes, dform,
+                             want_scores)
 
     meta = cl.meta
     if meta.shape[0] % 8:
@@ -407,15 +462,27 @@ def _auto_interpret(interpret: "bool | None") -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _u_map(cheb: ChebBank, dtype):
+    """(uscale, uoff) with u = rsq·uscale + uoff ∈ [-1, 1] over the domain —
+    one kernel FMA instead of the 3-op affine map."""
+    span = (cheb.hi - cheb.lo).astype(dtype)
+    return (2.0 / span).astype(dtype), (-(cheb.hi + cheb.lo) / span).astype(
+        dtype)
+
+
 def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
             cheb: ChebBank, interpret: "bool | None" = False,
-            observe: bool = True) -> ForceOut:
+            observe: bool = True, want_scores: bool = True) -> ForceOut:
     """ForceOut-compatible fused evaluation (see module docstring for scope).
 
     ``observe=False`` selects the fast kernel variant: no energy/virial/oob
     accumulation (pe/virial come back 0) — use for interior MD steps where
     only forces/λ-forces/scores feed the integrator, with a full evaluation
-    at block ends for observables (the LAMMPS eflag/vflag pattern)."""
+    at block ends for observables (the LAMMPS eflag/vflag pattern).
+    ``want_scores=False`` additionally drops the pseudolikelihood score
+    tallies and their two channel rows (scores come back 0) — only valid
+    when scores have no dynamical feedback (no ``fix ucgstate``, or ``ld``
+    mode where ucgp is observable-only; the driver gates this)."""
     n = state.x.shape[0]
     tp = params.tp
     dtype = jnp.float32
@@ -429,17 +496,18 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
         cl, state.box, state.x, lam_eff, state.ucgstate, dtype=dtype,
         typ=(state.typ if len(classes) > 1 else None))
     L = state.box.lengths.astype(dtype)
+    uscale, uoff = _u_map(cheb, dtype)
     scal = jnp.stack([
         L[0], L[1],
         tp.cutsq[1, 1].astype(dtype),
         params.bank.innersq[0].astype(dtype),
-        cheb.lo.astype(dtype), cheb.hi.astype(dtype),
+        uscale, uoff,
         jnp.zeros((), dtype), jnp.zeros((), dtype),
     ])[None, :]
 
     outs = _run_kernel(cl, scal, ipack, pages, cheb, observe,
                        style="ucgld", mf=False, interpret=interpret,
-                       classes=classes)
+                       classes=classes, want_scores=want_scores)
     out = outs[0]
 
     out_at = jnp.take(out, cl.atom_slot, axis=0,
@@ -448,9 +516,12 @@ def compute(state: SimState, cl: colpack.ColumnList, params: UCGLDParams,
     is_ucg = tp.n_states[state.typ] > 1
     ucgforce = jnp.where(is_ucg, out_at[:, 3] - tp.mu_diff[state.typ], 0.0)
     kT = params.kT.astype(dtype)
-    scores = out_at[:, 4:6] / kT
-    scores = scores.at[:, 1].add(-tp.mu_diff[state.typ] / kT)
-    scores = jnp.where(is_ucg[:, None], scores, 0.0)
+    if want_scores:
+        scores = out_at[:, 4:6] / kT
+        scores = scores.at[:, 1].add(-tp.mu_diff[state.typ] / kT)
+        scores = jnp.where(is_ucg[:, None], scores, 0.0)
+    else:
+        scores = jnp.zeros((n, 2), dtype)
 
     if observe:
         totals = jnp.sum(outs[1][::8], axis=0)
@@ -491,7 +562,19 @@ def compute_style_fast(state: SimState, cl: colpack.ColumnList,
                    interpret=None)
 
 
+def compute_style_fast_noscores(state: SimState, cl: colpack.ColumnList,
+                                params: UCGLDParams) -> ForceOut:
+    """Fastest interior-step variant: observe=False AND want_scores=False —
+    2 fewer Chebyshev channel rows + no score mixing.  The driver selects it
+    only when scores cannot feed back into the dynamics (``fix ucgstate``
+    absent or in ``ld`` mode — ucgp is then recomputed on full-kernel steps
+    where thermo/dump read it)."""
+    return compute(state, cl, params, params.cheb, observe=False,
+                   interpret=None, want_scores=False)
+
+
 compute_style.fast_variant = compute_style_fast
+compute_style.fast_variant_noscores = compute_style_fast_noscores
 
 
 def supports_bethe(params, n_atoms: int) -> bool:
@@ -531,11 +614,12 @@ def compute_bethe(state: SimState, cl: colpack.ColumnList, params,
                                 state.ucgstate, dtype=dtype, aux=pi1)
     L = state.box.lengths.astype(dtype)
     kT = params.kT.astype(dtype)
+    uscale, uoff = _u_map(cheb, dtype)
     scal = jnp.stack([
         L[0], L[1],
         tp.cutsq[1, 1].astype(dtype),
         params.bank.innersq[0].astype(dtype),
-        cheb.lo.astype(dtype), cheb.hi.astype(dtype),
+        uscale, uoff,
         kT, jnp.zeros((), dtype),
     ])[None, :]
 

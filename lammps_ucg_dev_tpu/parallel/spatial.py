@@ -596,7 +596,7 @@ class SpatialSimulation(Simulation):
 
         mass = self._masses_by_type.astype(dt_)[sim0.typ]
 
-        def make_body(pair_fn):
+        def make_body(pair_fn, scores_valid=True):
             def body(carry, _):
                 sim_s, fout = carry
                 sim_s = fi.initial_integrate(
@@ -605,7 +605,8 @@ class SpatialSimulation(Simulation):
                 sim_s = refresh(sim_s)
                 sim_s, fout = self._forces(sim_s, nbr, run_window,
                                            pair_params=params,
-                                           pair_fn=wrap_pair(pair_fn))
+                                           pair_fn=wrap_pair(pair_fn),
+                                           scores_valid=scores_valid)
                 fout = clean(fout)
                 sim_s = fi.final_integrate(
                     sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
@@ -627,10 +628,17 @@ class SpatialSimulation(Simulation):
             # so the carried ForceOut holds valid pe/virial for thermo —
             # same eflag/vflag cadence as the single-chip driver
             fast_fn = getattr(self.pair_compute, "fast_variant", None)
+            fast_scores = True
+            if fast_fn is not None and self._scores_inert:
+                # same score-free interior gating as the single-chip driver
+                nos = getattr(self.pair_compute, "fast_variant_noscores",
+                              None)
+                if nos is not None:
+                    fast_fn, fast_scores = nos, False
             if fast_fn is not None and nsteps > 1:
                 (sim1, fout1), _ = jax.lax.scan(
-                    make_body(fast_fn), (sim0, fout0), None,
-                    length=nsteps - 1)
+                    make_body(fast_fn, scores_valid=fast_scores),
+                    (sim0, fout0), None, length=nsteps - 1)
                 (sim1, fout1), _ = make_body(None)((sim1, fout1), None)
             else:
                 (sim1, fout1), _ = jax.lax.scan(

@@ -117,6 +117,15 @@ class Simulation:
         self.cswitch_stats = (
             fcs.ClusterSwitchStats.zeros(state.x.dtype) if cluster_switch else None
         )
+        # scores are dynamically inert when nothing converts them into state
+        # that feeds back into forces: fix ucgstate absent, or 'ld' mode
+        # (ucgp = softmax(scores) is observable-only there — the λ integrator
+        # owns state/λ; fix_ucgstate.cpp:52-54).  extra_post_force may read
+        # fout.scores, so its presence disables the optimization.
+        self._scores_inert = (
+            (cfg.ucgstate is None or not cfg.ucgstate.enabled
+             or cfg.ucgstate.mode == "ld")
+            and extra_post_force is None)
         self.log_dir = log_dir
         self._cswitch_jit = None
         if cluster_switch is not None:
@@ -138,7 +147,7 @@ class Simulation:
     # ---- one force evaluation + post-force fixes -------------------------
 
     def _forces(self, state: SimState, nbr, run_window, pair_params=None,
-                pair_fn=None):
+                pair_fn=None, scores_valid=True):
         cfg = self.cfg
         u = cfg.u
         if pair_params is None:
@@ -170,9 +179,14 @@ class Simulation:
             state, ucgforce = self.extra_post_force(state, ucgforce, fout)
 
         if cfg.ucgstate is not None and cfg.ucgstate.enabled:
+            # the split happens even when the update is skipped (interior
+            # no-scores steps) so the RNG stream — and hence the Langevin
+            # noise sequence — is identical across kernel variants
             key, sub = jax.random.split(key)
-            is_ucg = self._is_ucg(state)
-            state = fs.post_force(sub, state, fout.scores, is_ucg, cfg.ucgstate)
+            if scores_valid:
+                is_ucg = self._is_ucg(state)
+                state = fs.post_force(sub, state, fout.scores, is_ucg,
+                                      cfg.ucgstate)
         elif fout.ucgp is not None:
             state = dataclasses.replace(state, ucgp=fout.ucgp)
 
@@ -274,7 +288,7 @@ class Simulation:
             (state, fout, _), _ = jax.lax.scan(
                 body, (state, fcarry, bonded_f(state)), None, length=nsteps)
         else:
-            def make_body(pair_fn):
+            def make_body(pair_fn, scores_valid=True):
                 def body(carry, _):
                     state, fout = carry
                     mass = self._masses_by_type[state.typ]
@@ -283,7 +297,8 @@ class Simulation:
                         cfg.u.ftm2v, cfg.integrator,
                     )
                     state, fout = self._forces(state, nbr, run_window,
-                                               pair_fn=pair_fn)
+                                               pair_fn=pair_fn,
+                                               scores_valid=scores_valid)
                     state = fi.final_integrate(
                         state, fout.f, fout.ucgforce, mass, cfg.dt,
                         cfg.u.ftm2v, cfg.integrator,
@@ -293,14 +308,25 @@ class Simulation:
                 return body
 
             fast_fn = getattr(self.pair_compute, "fast_variant", None)
+            fast_scores = True
+            if fast_fn is not None and self._scores_inert:
+                # scores have no dynamical feedback in this deck (fix
+                # ucgstate absent or 'ld' — ucgp is observable-only): run
+                # the score-free interior kernel and defer the ucgp update
+                # to the block's full-kernel step, where thermo/dump read it
+                nos = getattr(self.pair_compute, "fast_variant_noscores",
+                              None)
+                if nos is not None:
+                    fast_fn = nos
+                    fast_scores = False
             if fast_fn is not None and nsteps > 1:
                 # LAMMPS eflag/vflag pattern: interior steps run the fast
                 # pair variant (forces/λ-forces/scores only); the block's
                 # last step runs the full kernel so the carried ForceOut
                 # holds valid pe/virial/oob for thermo
                 (state, fout), _ = jax.lax.scan(
-                    make_body(fast_fn), (state, fcarry), None,
-                    length=nsteps - 1)
+                    make_body(fast_fn, scores_valid=fast_scores),
+                    (state, fcarry), None, length=nsteps - 1)
                 (state, fout), _ = make_body(None)((state, fout), None)
             else:
                 (state, fout), _ = jax.lax.scan(

@@ -59,6 +59,16 @@ def test_kernel_matches_xla(rng):
                                np.asarray(out_k.scores), atol=1e-5)
     assert float(out_f.pe) == 0.0
 
+    # score-free interior variant: identical forces/λ-forces (the dropped
+    # eA/eC rows feed only the score tallies), scores come back 0
+    out_n = pk.compute(state, cl, params, cheb, interpret=True,
+                       observe=False, want_scores=False)
+    np.testing.assert_allclose(np.asarray(out_n.f), np.asarray(out_k.f),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(out_n.ucgforce),
+                               np.asarray(out_k.ucgforce), atol=1e-5)
+    assert float(np.abs(np.asarray(out_n.scores)).max()) == 0.0
+
 
 def test_bethe_kernel_matches_xla(rng):
     """Fused Bethe kernel (closed-form pij per candidate) vs the XLA
