@@ -140,6 +140,16 @@ def run_phases(n: int, reps: int = 30) -> dict:
         pair_nos = jax.jit(lambda s, c: nos(s, c, sim.pair_params))
         out["pair_fast_noscores_ns_atom"] = round(
             timeit(pair_nos, state, nbr) / n * 1e9, 2)
+    if getattr(sim, "_slot_ok", False):
+        # slot-resident interior pair (the production interior path: no
+        # atom->slot pack gather, no out-take)
+        ss, _sf = jax.jit(sim._to_slots)(state, sim._fcarry, nbr)
+        jax.block_until_ready(ss.x)
+        sfn = (sim.pair_compute.slot_fast_noscores if sim._scores_inert
+               else sim.pair_compute.slot_fast)
+        pair_slot = jax.jit(lambda s, c: sfn(s, c, sim.pair_params))
+        out["pair_slot_ns_atom"] = round(
+            timeit(pair_slot, ss, nbr) / n * 1e9, 2)
     build = jax.jit(sim._nbr_build)
     out["nbr_build_ns_atom"] = round(timeit(build, state) / n * 1e9, 2)
     if isinstance(sim.nbr_spec, colpack.ColumnSpec):

@@ -58,14 +58,23 @@ _PAD_POISON = 1.0e17   # pad-slot coordinate: far enough that dx² overflows
                        # any cutoff, small enough that dx² stays finite in f32
 
 
-@pytree_dataclass(meta_fields=("mx", "my", "cz", "gz", "czp", "G", "S"))
+@pytree_dataclass(meta_fields=("mx", "my", "cz", "gz", "gzt", "czp", "G",
+                               "S"))
 class ColumnList:
     """Per-reneighbor candidate structure (fixed shapes, jit-safe).
 
     Extended slot space: column c owns rows [c*czp, (c+1)*czp) =
-    [gz ghost-bottom | count real | ghost-top copies | pads].  Real slot
-    space (kernel i-side and outputs) is the (ncol*cz,) column-major region
-    at fixed offsets [gz, gz+cz).
+    [gz ghost-bottom | count real | <= gzt ghost-top copies | pads].  Real
+    slot space (kernel i-side and outputs) is the (ncol*cz,) column-major
+    region at fixed offsets [gz, gz+cz).  The bottom zone holds copies of
+    the column's LAST (top-z) atoms shifted -Lz at FIXED rows [0, gz)
+    (dynamic sources — ``bsrc``); the top copies are the column's FIRST
+    atoms shifted +Lz at dynamic rows right after the reals (fixed sources;
+    flat target indices ``tidx``) so z stays ascending per column with no
+    dead interior, capped at the static capacity gzt.  The slot-major
+    interior loop refreshes ghosts per step from these index sets — a small
+    take_along_axis + static write (bottom) and a static slice + fixed-index
+    scatter (top) — instead of the full N-row pack gather.
     """
 
     slot_atom_ext: jax.Array   # (ncol*czp,) int32 atom id; N = padding
@@ -73,6 +82,12 @@ class ColumnList:
     atom_slot: jax.Array       # (N,) int32 -> real slot index
     i_valid: jax.Array         # (ncol*cz,) bool — real slot holds a real atom
                                # (not a ghost-top copy placed in the region)
+    bsrc: jax.Array            # (ncol, gz) int32 — bottom-zone source row in
+                               # the column's REAL region [0, cz)
+    bok: jax.Array             # (ncol, gz) bool — bottom-zone row is live
+    tidx: jax.Array            # (ncol, gzt) int32 — FLAT extended-slot index
+                               # of top-copy row t (sorted; ncol*czp = dead)
+    tok: jax.Array             # (ncol, gzt) bool — top-copy row t is live
     meta: jax.Array            # (n_prog, 32) int32: [9 stencil cols,
                                #  9 page ids, 9 encoded xy-image shifts, pad]
     x0: jax.Array              # (N, 3) build-time positions
@@ -84,7 +99,8 @@ class ColumnList:
     mx: int
     my: int
     cz: int                    # real slots per column (multiple of 8*G)
-    gz: int                    # ghost slots at the column bottom
+    gz: int                    # bottom ghost-zone slots per column
+    gzt: int                   # top ghost-zone slots per column
     czp: int                   # total slots per column (>= W; W + mult of S)
     G: int                     # i-clusters per kernel program
     S: int                     # z-page stride (pages overlap by W - S)
@@ -118,6 +134,7 @@ class ColumnSpec:
     my: int
     cz: int
     gz: int
+    gzt: int
     czp: int
     G: int
     S: int
@@ -214,9 +231,9 @@ def _stencil_shifts(mx, my, periodic_x=True):
     return np.stack(enc, axis=1).astype(np.int32)
 
 
-def _round_czp(cz, gz, S):
-    """czp >= cz + 2*gz with (czp - W) a non-negative multiple of S."""
-    base = max(cz + 2 * gz, W)
+def _round_czp(cz, gz, gzt, S):
+    """czp >= gz + cz + gzt with (czp - W) a non-negative multiple of S."""
+    base = max(gz + cz + gzt, W)
     return W + int(-(-(base - W) // S) * S)
 
 
@@ -236,6 +253,11 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
     # the x-row window unions 3 columns; model local under/over-density of
     # own group vs neighbor row with a +-3 sigma ratio factor
     ratio = (1.0 + 3.0 / math.sqrt(max(mean_col, 9.0))) ** 2
+    cap = mean_col + 6.0 * math.sqrt(max(mean_col, 1.0)) + 8
+
+    def cz_of(g):
+        gs_ = CL * g
+        return int(-(-cap // gs_) * gs_)
 
     def est_span(g):
         mean_w = CL * g * ratio + 2.0 * rc * lam_z
@@ -255,15 +277,16 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
                              "stride; density too high for this geometry")
     gs = CL * G
     if cz is None:
-        cap = mean_col + 6.0 * math.sqrt(max(mean_col, 1.0)) + 8
-        cz = int(-(-cap // gs) * gs)
+        cz = cz_of(G)
     if cz % gs:
         raise ValueError(f"cz must be a multiple of {gs}")
     if gz is None:
         gmean = rc * lam_z
         gz = int(-(-(gmean + 6.0 * math.sqrt(max(gmean, 1.0)) + 4) // CL) * CL)
+    gzt = gz
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=int(cz),
-                      gz=int(gz), czp=_round_czp(cz, gz, S), G=int(G),
+                      gz=int(gz), gzt=int(gzt),
+                      czp=_round_czp(cz, gz, gzt, S), G=int(G),
                       S=int(S), stencil_cols=_stencil(mx, my, periodic_x),
                       periodic_x=periodic_x)
 
@@ -312,6 +335,14 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
         zexts = [np.concatenate([zs - Lz, zs, zs + Lz]) for zs in zcols]
         per_cfg.append((xn.shape[0], counts, zcols, zexts))
 
+    mean_col = max(max(n for (n, _, _, _) in per_cfg) / ncol, 1.0)
+    cap = (max(int(counts.max()) for (_, counts, _, _) in per_cfg)
+           + 4.0 * math.sqrt(mean_col) + 8)
+
+    def cz_of(g):
+        gs_ = CL * g
+        return int(-(-cap // gs_) * gs_)
+
     def max_col_span(g):
         gs = CL * g
         mx_span = 0
@@ -346,18 +377,16 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
     if G is None:
         raise ValueError(f"measured row spans {spans} + margin exceed every "
                          f"page stride; geometry unsupported")
-    gs = CL * G
-    mean_col = max(max(n for (n, _, _, _) in per_cfg) / ncol, 1.0)
-    cap = (max(int(counts.max()) for (_, counts, _, _) in per_cfg)
-           + 4.0 * math.sqrt(mean_col) + 8)
-    cz = int(-(-cap // gs) * gs)
-    need = max(max(int(max(np.sum(zs < rc) for zs in zcols)),
-                   int(max(np.sum(zs > Lz - rc) for zs in zcols)))
-               for (_, _, zcols, _) in per_cfg)
-    gz = int(-(-(need + 4.0 * math.sqrt(max(need, 1.0)) + 4) // CL) * CL)
+    cz = cz_of(G)
+    need_b = max(int(max(np.sum(zs > Lz - rc) for zs in zcols))
+                 for (_, _, zcols, _) in per_cfg)
+    need_t = max(int(max(np.sum(zs < rc) for zs in zcols))
+                 for (_, _, zcols, _) in per_cfg)
+    gz = int(-(-(need_b + 4.0 * math.sqrt(max(need_b, 1.0)) + 4) // CL) * CL)
+    gzt = int(-(-(need_t + 4.0 * math.sqrt(max(need_t, 1.0)) + 4) // CL) * CL)
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=cz,
-                      gz=gz, czp=_round_czp(cz, gz, S), G=G, S=S,
-                      stencil_cols=sten, periodic_x=periodic_x)
+                      gz=gz, gzt=gzt, czp=_round_czp(cz, gz, gzt, S), G=G,
+                      S=S, stencil_cols=sten, periodic_x=periodic_x)
 
 
 def build(x: jax.Array, box: Box, spec: ColumnSpec,
@@ -409,13 +438,18 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
     sa_real = slot_atom.reshape(ncol, cz)
 
     # ---- extended column layout --------------------------------------------
-    # [gz ghost-bottom | count real | ghost-top copies | pads].  Ghost-top
-    # copies start IMMEDIATELY after the real atoms (dynamic offset), not at a
-    # fixed position: a fixed region would leave real-slot pads (z = Lz)
-    # between real atoms and ghost-tops, and any z-window crossing the top
-    # face would have to span all of them.  Pads take z = 3*Lz (beyond every
-    # query), so each column's zext stays ascending with zero dead interior.
-    # Real atoms keep fixed positions [gz, gz+rank) so slot gids are static.
+    # [gz ghost-bottom | count real | <= gzt ghost-top copies | pads].
+    # Ghost-top copies start IMMEDIATELY after the real atoms (dynamic
+    # offset), not at a fixed position: a fixed region would leave real-slot
+    # pads (z = Lz) between real atoms and ghost-tops, and any z-window
+    # crossing the top face would have to span all of them.  Pads take
+    # z = 3*Lz (beyond every query), so each column's zext stays ascending
+    # with zero dead interior.  Real atoms keep fixed positions
+    # [gz, gz+rank) so slot gids are static.  Top copies are capped at the
+    # static capacity gzt so the slot-major refresh (``tidx``) has a fixed
+    # shape; windows only ever reach copies of atoms with z < rc, which the
+    # ghost-capacity check bounds by gzt.
+    gzt = spec.gzt
     q = jnp.arange(czp, dtype=jnp.int32)[None, :]              # (1, czp)
     cnt = count[:, None]                                       # (ncol, 1)
     is_bot = q < gz
@@ -423,7 +457,7 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
     src = jnp.where(is_bot, cnt - gz + q,
                     jnp.where(is_real, q - gz, q - gz - cnt))  # (ncol, czp)
     ok = jnp.where(is_bot, src >= 0,
-                   is_real | (src < cnt))                      # top: src < cnt
+                   is_real | ((src < cnt) & (src < gzt)))      # top copies
     srcc = jnp.clip(src, 0, cz - 1)
     sa_ext = jnp.where(ok, jnp.take_along_axis(sa_real, srcc, axis=1), n)
     shift = jnp.where(is_bot, -1, jnp.where(is_real, 0, 1)).astype(jnp.int8)
@@ -442,11 +476,25 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
     ri = jnp.arange(cz, dtype=jnp.int32)[None, :]
     i_valid = (ri < cnt).reshape(-1)                           # (ncol*cz,)
 
+    # slot-major ghost-refresh index sets (fixed shapes; values fixed per
+    # block).  Bottom zone: fixed rows [0, gz), dynamic sources (the
+    # column's last gz atoms).  Top copies: fixed sources (the column's
+    # first gzt real rows), dynamic flat target rows gz+cnt+t.
+    qb = jnp.arange(gz, dtype=jnp.int32)[None, :]              # (1, gz)
+    bs = cnt - gz + qb
+    bok = bs >= 0
+    bsrc = jnp.clip(bs, 0, cz - 1)                             # (ncol, gz)
+    tt = jnp.arange(gzt, dtype=jnp.int32)[None, :]             # (1, gzt)
+    trow = gz + cnt + tt
+    tok = (tt < cnt) & (trow < czp)
+    cbase = jnp.arange(ncol, dtype=jnp.int32)[:, None] * czp
+    tidx = jnp.where(tok, cbase + trow, ncol * czp)            # (ncol, gzt)
+
     # ghost capacity: every atom within rc of a z face must have a copy
     need_top = count - jnp.sum(z_real < (Lz - rc), axis=1).astype(jnp.int32)
     need_bot = jnp.sum(z_real < rc, axis=1).astype(jnp.int32)
     ghost_overflow = (jnp.max(need_top) > gz) | (
-        jnp.max(count + need_bot) > (czp - gz))
+        jnp.max(count + need_bot) > (czp - gz)) | (jnp.max(need_bot) > gzt)
 
     # ---- per-program z-windows over the 9 stencil columns ------------------
     gpc = spec.gpc
@@ -508,12 +556,13 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
         zshift=zshift,
         atom_slot=atom_slot,
         i_valid=i_valid,
+        bsrc=bsrc, bok=bok, tidx=tidx, tok=tok,
         meta=meta,
         x0=x,
         overflow=col_overflow | ghost_overflow | win_overflow,
         max_occupancy=max_span,
         mean_span=mean_span,
-        mx=mx, my=my, cz=cz, gz=gz, czp=czp, G=spec.G, S=S,
+        mx=mx, my=my, cz=cz, gz=gz, gzt=gzt, czp=czp, G=spec.G, S=S,
     )
 
 
@@ -573,6 +622,47 @@ def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
     pages = jnp.stack([jp[:, :, k * cl.S:k * cl.S + W]
                        for k in range(cl.npage)], axis=0)      # (npage,ncol,8,W)
     return ipack, pages
+
+
+def pack_slots(cl: ColumnList, box: Box, attrs_real: jax.Array) -> jax.Array:
+    """Slot-major per-step page assembly (the fast-path replacement for
+    :func:`pack`'s N-row gather).  ``attrs_real`` is the (n_slots, 8)
+    i-side attribute block ALREADY in real-slot order (rows =
+    [x y z λ state valid aux typ]; pad/ghost-copy rows poisoned) — the
+    caller keeps per-atom state resident in slot order across a reneighbor
+    block, so no atom→slot gather exists.  Ghost rows are refreshed from
+    the block-fixed index sets: bottom zone = small take_along_axis +
+    static write; top copies = static source slice + fixed-index scatter.
+    Returns the (npage, ncol, 8, W) pages array for the kernel's window
+    DMAs."""
+    ncol, cz, gz, gzt, czp = cl.ncol, cl.cz, cl.gz, cl.gzt, cl.czp
+    dtype = attrs_real.dtype
+    Lz = box.lengths[2].astype(dtype)
+    real3 = attrs_real.reshape(ncol, cz, 8)
+    pad_row = jnp.concatenate([
+        jnp.full((3,), _PAD_POISON, dtype), jnp.zeros((5,), dtype)])
+    bot = jnp.take_along_axis(real3, cl.bsrc[:, :, None], axis=1)
+    bot = bot.at[:, :, 2].add(-Lz)
+    bot = jnp.where(cl.bok[:, :, None], bot, pad_row)
+    top = real3[:, :gzt, :]                       # fixed-source static slice
+    top = top.at[:, :, 2].add(Lz)
+    tail = jnp.broadcast_to(pad_row, (ncol, czp - gz - cz, 8))
+    ext = jnp.concatenate([bot, real3, tail], axis=1).reshape(-1, 8)
+    ext = ext.at[cl.tidx.reshape(-1)].set(top.reshape(-1, 8), mode="drop")
+    jp = ext.reshape(ncol, czp, 8).transpose(0, 2, 1)
+    return jnp.stack([jp[:, :, k * cl.S:k * cl.S + W]
+                      for k in range(cl.npage)], axis=0)
+
+
+def slot_atom_real(cl: ColumnList, n_atoms: int) -> jax.Array:
+    """(n_slots,) atom id per REAL-region slot for slot-major residency:
+    real atoms map to themselves; pads AND ghost-top copies map to the
+    ``n_atoms`` sentinel (copy rows must not carry live state in slot
+    space — they are refreshed through :func:`pack_slots`, and a stale
+    integrated copy could drift into a spurious pair)."""
+    ids = cl.slot_atom_ext.reshape(cl.ncol, cl.czp)[
+        :, cl.gz:cl.gz + cl.cz].reshape(-1)
+    return jnp.where(cl.i_valid, ids, n_atoms)
 
 
 def as_neighbor_list(cl: ColumnList, n_atoms: int):

@@ -577,6 +577,93 @@ compute_style.fast_variant = compute_style_fast
 compute_style.fast_variant_noscores = compute_style_fast_noscores
 
 
+def compute_slot(state: SimState, cl: colpack.ColumnList,
+                 params: UCGLDParams, cheb: ChebBank,
+                 interpret: "bool | None" = None, observe: bool = False,
+                 want_scores: bool = True) -> ForceOut:
+    """Slot-resident fused evaluation: ``state`` holds SLOT-ORDERED arrays
+    (n_atoms == cl.n_slots; pad/ghost-copy rows poisoned — see
+    ``Simulation`` slot-major interior loop).  Unlike :func:`compute` there
+    is no atom→slot pack gather (the i-side attribute block is a concat of
+    the resident slot arrays + a small ghost refresh, colpack.pack_slots)
+    and no slot→atom out-take (the returned ForceOut rows are slot-ordered,
+    consumed directly by the slot-space integrator/fixes)."""
+    n_slots = state.x.shape[0]
+    tp = params.tp
+    dtype = jnp.float32
+
+    classes = _type_classes(tp, params.bank.n_tables)
+    is_ucg = tp.n_states[state.typ] > 1
+    lam_eff = jnp.where(is_ucg, state.ucgl, 0.0)
+    attrs = jnp.concatenate([
+        state.x.astype(dtype),
+        lam_eff.astype(dtype)[:, None],
+        state.ucgstate.astype(dtype)[:, None],
+        cl.i_valid.astype(dtype)[:, None],
+        jnp.zeros((n_slots, 1), dtype),
+        (state.typ.astype(dtype)[:, None] if len(classes) > 1
+         else jnp.zeros((n_slots, 1), dtype)),
+    ], axis=1)
+    # materialization fence: without it XLA fuses the integrator's
+    # elementwise producers into pack_slots' transpose/page-stack, which
+    # destroys the transpose's tiled lowering (~25 ns/atom measured)
+    attrs = jax.lax.optimization_barrier(attrs)
+    pages = colpack.pack_slots(cl, state.box, attrs)
+    L = state.box.lengths.astype(dtype)
+    uscale, uoff = _u_map(cheb, dtype)
+    scal = jnp.stack([
+        L[0], L[1],
+        tp.cutsq[1, 1].astype(dtype),
+        params.bank.innersq[0].astype(dtype),
+        uscale, uoff,
+        jnp.zeros((), dtype), jnp.zeros((), dtype),
+    ])[None, :]
+
+    outs = _run_kernel(cl, scal, attrs, pages, cheb, observe,
+                       style="ucgld", mf=False, interpret=interpret,
+                       classes=classes, want_scores=want_scores)
+    out = outs[0]                                      # (n_slots, 8)
+    f = out[:, 0:3]
+    ucgforce = jnp.where(is_ucg, out[:, 3] - tp.mu_diff[state.typ], 0.0)
+    kT = params.kT.astype(dtype)
+    if want_scores:
+        scores = out[:, 4:6] / kT
+        scores = scores.at[:, 1].add(-tp.mu_diff[state.typ] / kT)
+        scores = jnp.where(is_ucg[:, None], scores, 0.0)
+    else:
+        scores = jnp.zeros((n_slots, 2), dtype)
+
+    if observe:
+        totals = jnp.sum(outs[1][::8], axis=0)
+        pe = 0.5 * totals[0]
+        virial = 0.5 * totals[1:7]
+        oob_low = totals[7].astype(jnp.int32)
+    else:
+        pe = jnp.zeros((), dtype)
+        virial = jnp.zeros((6,), dtype)
+        oob_low = jnp.zeros((), jnp.int32)
+    return ForceOut(
+        f=f, ucgforce=ucgforce, scores=scores, pe=pe, virial=virial,
+        oob_low=oob_low, oob_high=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_style_slot_fast(state: SimState, cl: colpack.ColumnList,
+                            params: UCGLDParams) -> ForceOut:
+    """Slot-resident interior-step variant (observe=False)."""
+    return compute_slot(state, cl, params, params.cheb, observe=False)
+
+
+def compute_style_slot_fast_noscores(state: SimState, cl: colpack.ColumnList,
+                                     params: UCGLDParams) -> ForceOut:
+    return compute_slot(state, cl, params, params.cheb, observe=False,
+                        want_scores=False)
+
+
+compute_style.slot_fast = compute_style_slot_fast
+compute_style.slot_fast_noscores = compute_style_slot_fast_noscores
+
+
 def supports_bethe(params, n_atoms: int) -> bool:
     """Static eligibility of the fused Bethe kernel: same geometry scope as
     table_ucgld, plus pseudolikelihood scores only (full-SCE stays on the

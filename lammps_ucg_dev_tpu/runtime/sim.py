@@ -126,6 +126,18 @@ class Simulation:
             (cfg.ucgstate is None or not cfg.ucgstate.enabled
              or cfg.ucgstate.mode == "ld")
             and extra_post_force is None)
+        # slot-major interior residency: per-atom state lives in the column
+        # list's real-slot order for the interior steps of a reneighbor
+        # block, so the per-step atom→slot pack gather and slot→atom
+        # out-take vanish.  Requires the fused column kernel (slot_fast
+        # variant), f32 state (slot attrs are the kernel's f32 input), and
+        # no atom-space extra_post_force.  Every fix used inside the block
+        # (integrate/langevin/ucgstate) is elementwise with tag-keyed RNG,
+        # so trajectories are identical to the atom-ordered path.
+        self._slot_ok = (
+            self._is_column and extra_post_force is None
+            and state.x.dtype == jnp.float32
+            and getattr(pair_compute, "slot_fast", None) is not None)
         self.log_dir = log_dir
         self._cswitch_jit = None
         if cluster_switch is not None:
@@ -199,6 +211,124 @@ class Simulation:
         if tp is None:
             return jnp.ones(state.n_atoms, dtype=bool)
         return tp.n_states[state.typ] > 1
+
+    def _verlet_body(self, nbr, run_window, pair_fn=None, scores_valid=True):
+        """One velocity-Verlet step as a lax.scan body over (state, fout).
+        Works on atom-ordered state AND on slot-resident state (the slot
+        interior loop): every fix is elementwise with tag-keyed RNG."""
+        cfg = self.cfg
+
+        def body(carry, _):
+            state, fout = carry
+            mass = self._masses_by_type[state.typ]
+            state = fi.initial_integrate(
+                state, fout.f, fout.ucgforce, mass, cfg.dt,
+                cfg.u.ftm2v, cfg.integrator,
+            )
+            state, fout = self._forces(state, nbr, run_window,
+                                       pair_fn=pair_fn,
+                                       scores_valid=scores_valid)
+            state = fi.final_integrate(
+                state, fout.f, fout.ucgforce, mass, cfg.dt,
+                cfg.u.ftm2v, cfg.integrator,
+            )
+            state = dataclasses.replace(state, step=state.step + 1)
+            return (state, fout), None
+        return body
+
+    @staticmethod
+    def _bc(a):
+        # int fields ride the wide f32 gather by VALUE, not bitcast: f32 is
+        # exact for |v| < 2^24 (tags <= N <= 2^20; typ/mol/ucgstate/image
+        # are tiny), while a bitcast of a small int is an f32 DENORMAL,
+        # which the TPU flushes to zero in any fused elementwise producer
+        return a.astype(jnp.float32)
+
+    @staticmethod
+    def _ib(a):
+        return a.astype(jnp.int32)
+
+    def _to_slots(self, state: SimState, fcarry: ForceOut, nbr):
+        """Re-express (state, fcarry) in the column list's real-slot order
+        (pads/ghost-copy rows poisoned) with ONE wide row gather instead of
+        16 per-field gathers (row gathers are latency-bound, not
+        bytes-bound): all f32 fields + bitcast i32 fields ride a single
+        (N+1, 24) matrix.  Column map:
+        0:3 x | 3:6 v | 6 ucgl | 7 ucgvl | 8 ucgml | 9 ucgp | 10 q |
+        11:14 f | 14 ucgforce | 15:17 scores | 17 tag | 18 typ | 19 mol |
+        20:23 image | 23 ucgstate"""
+        n = state.n_atoms
+        sar = colpack.slot_atom_real(nbr, n)
+        bc, ib = self._bc, self._ib
+        M = jnp.concatenate([
+            state.x, state.v, state.ucgl[:, None], state.ucgvl[:, None],
+            state.ucgml[:, None], state.ucgp[:, None], state.q[:, None],
+            fcarry.f, fcarry.ucgforce[:, None], fcarry.scores,
+            bc(state.tag)[:, None], bc(state.typ)[:, None],
+            bc(state.mol)[:, None], bc(state.image),
+            bc(state.ucgstate)[:, None],
+        ], axis=1)
+        one = bc(jnp.ones((), jnp.int32))
+        pad = jnp.zeros((1, M.shape[1]), jnp.float32)
+        pad = pad.at[0, 0:3].set(colpack._PAD_POISON)       # x poisoned
+        pad = pad.at[0, 8].set(1.0)                         # ucgml (no /0)
+        pad = pad.at[0, 9].set(-1.0)                        # ucgp sentinel
+        pad = pad.at[0, 17].set(one).at[0, 18].set(one)     # tag/typ = 1
+        Ms = jnp.concatenate([M, pad], axis=0)[sar]         # (n_slots, 24)
+
+        slot_state = dataclasses.replace(
+            state,
+            x=Ms[:, 0:3], v=Ms[:, 3:6], ucgl=Ms[:, 6], ucgvl=Ms[:, 7],
+            ucgml=Ms[:, 8], ucgp=Ms[:, 9], q=Ms[:, 10],
+            tag=ib(Ms[:, 17]), typ=ib(Ms[:, 18]), mol=ib(Ms[:, 19]),
+            image=ib(Ms[:, 20:23]), ucgstate=ib(Ms[:, 23]),
+            n_total=state.rng_n,
+        )
+        slot_fout = dataclasses.replace(
+            fcarry, f=Ms[:, 11:14], ucgforce=Ms[:, 14],
+            scores=Ms[:, 15:17])
+        return slot_state, slot_fout
+
+    def _from_slots(self, state: SimState, slot_state: SimState,
+                    slot_fout: ForceOut, nbr):
+        """Take the dynamic fields back to atom order with one wide take.
+        Column map: 0:3 x | 3:6 v | 6 ucgl | 7 ucgvl | 8 ucgp | 9:12 f |
+        12 ucgforce | 13:15 scores | 15 ucgstate"""
+        bc, ib = self._bc, self._ib
+        E = jnp.concatenate([
+            slot_state.x, slot_state.v, slot_state.ucgl[:, None],
+            slot_state.ucgvl[:, None], slot_state.ucgp[:, None],
+            slot_fout.f, slot_fout.ucgforce[:, None], slot_fout.scores,
+            bc(slot_state.ucgstate)[:, None],
+        ], axis=1)
+        Et = jnp.take(E, nbr.atom_slot, axis=0)             # (N, 16)
+        state = dataclasses.replace(
+            state,
+            x=Et[:, 0:3], v=Et[:, 3:6], ucgl=Et[:, 6], ucgvl=Et[:, 7],
+            ucgp=Et[:, 8], ucgstate=ib(Et[:, 15]),
+            key=slot_state.key, step=slot_state.step,
+        )
+        fout = dataclasses.replace(
+            slot_fout,
+            f=Et[:, 9:12], ucgforce=Et[:, 12], scores=Et[:, 13:15],
+        )
+        return state, fout
+
+    def _slot_interior(self, state: SimState, fcarry: ForceOut, nbr,
+                       run_window, k: int, slot_fn, scores_valid: bool):
+        """Run k interior Verlet steps with per-atom state RESIDENT in the
+        column list's real-slot order (pads/ghost-copy rows poisoned).
+        Entry/exit are one wide gather each per block; inside, the kernel
+        consumes the slot arrays directly (colpack.pack_slots) and its
+        output rows feed the integrator with no reordering.  Trajectories
+        are identical to the atom-ordered interior: same op order, same
+        tag-keyed RNG streams, same f32 arithmetic."""
+        slot_state, slot_fout = self._to_slots(state, fcarry, nbr)
+        body = self._verlet_body(nbr, run_window, pair_fn=slot_fn,
+                                 scores_valid=scores_valid)
+        (slot_state, slot_fout), _ = jax.lax.scan(
+            body, (slot_state, slot_fout), None, length=k)
+        return self._from_slots(state, slot_state, slot_fout, nbr)
 
     # ---- one jitted block: reneighbor + nsteps of Verlet ------------------
 
@@ -289,23 +419,8 @@ class Simulation:
                 body, (state, fcarry, bonded_f(state)), None, length=nsteps)
         else:
             def make_body(pair_fn, scores_valid=True):
-                def body(carry, _):
-                    state, fout = carry
-                    mass = self._masses_by_type[state.typ]
-                    state = fi.initial_integrate(
-                        state, fout.f, fout.ucgforce, mass, cfg.dt,
-                        cfg.u.ftm2v, cfg.integrator,
-                    )
-                    state, fout = self._forces(state, nbr, run_window,
-                                               pair_fn=pair_fn,
-                                               scores_valid=scores_valid)
-                    state = fi.final_integrate(
-                        state, fout.f, fout.ucgforce, mass, cfg.dt,
-                        cfg.u.ftm2v, cfg.integrator,
-                    )
-                    state = dataclasses.replace(state, step=state.step + 1)
-                    return (state, fout), None
-                return body
+                return self._verlet_body(nbr, run_window, pair_fn,
+                                         scores_valid)
 
             fast_fn = getattr(self.pair_compute, "fast_variant", None)
             fast_scores = True
@@ -319,7 +434,19 @@ class Simulation:
                 if nos is not None:
                     fast_fn = nos
                     fast_scores = False
-            if fast_fn is not None and nsteps > 1:
+            if self._slot_ok and nsteps > 1:
+                # slot-major interior: state resides in slot order for the
+                # nsteps-1 interior steps; the block's last step runs the
+                # full kernel in atom order for pe/virial/oob
+                slot_fn = self.pair_compute.slot_fast
+                if not fast_scores:
+                    slot_fn = getattr(self.pair_compute,
+                                      "slot_fast_noscores", slot_fn)
+                state, fout = self._slot_interior(
+                    state, fcarry, nbr, run_window, nsteps - 1, slot_fn,
+                    fast_scores)
+                (state, fout), _ = make_body(None)((state, fout), None)
+            elif fast_fn is not None and nsteps > 1:
                 # LAMMPS eflag/vflag pattern: interior steps run the fast
                 # pair variant (forces/λ-forces/scores only); the block's
                 # last step runs the full kernel so the carried ForceOut

@@ -163,6 +163,77 @@ def test_kernel_select_gates(rng):
     assert select_pair_kernel(params, small, rc, 0.4, force=True) is None
 
 
+def test_slot_interior_matches_atom_interior(rng):
+    """Simulation slot-major interior residency vs the atom-ordered
+    interior: identical physics op-for-op (same kernel inputs, same
+    elementwise fixes, same tag-keyed RNG), so trajectories must agree to
+    f32 re-association noise.  Covers both the scores-active (ucgstate
+    default) and score-free (ld) interior variants, across reneighbor
+    blocks with rebuilds."""
+    import dataclasses
+
+    from lammps_ucg_dev_tpu.core.state import System
+    from lammps_ucg_dev_tpu.fixes import integrate as fi
+    from lammps_ucg_dev_tpu.fixes import langevin as fl
+    from lammps_ucg_dev_tpu.fixes import ucgstate as fs
+    from lammps_ucg_dev_tpu.models import pair_ucgld
+    from lammps_ucg_dev_tpu.ops import chebtab
+    from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
+
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    v = rng.normal(0, 0.9, (n, 3))
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgstate = rng.integers(0, 2, n)
+    ucgvl = rng.normal(0, 0.3, n)
+
+    def mk_state():
+        return SimState.create(
+            x=x, v=v, typ=np.ones(n, np.int32), ucgl=ucgl,
+            ucgstate=ucgstate, ucgvl=ucgvl, ucgml=np.full(n, 5.0),
+            box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    params = dataclasses.replace(params, cheb=chebtab.fit_bank(bank),
+                                 chunk=0)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    integ = fi.IntegratorCfg("nve/ucgld/wall/hard", bias_potential=True,
+                             barrier=0.1)
+
+    for mode in ("default", "ld"):
+        cfg = SimConfig(dt=0.004, units="lj", integrator=integ,
+                        langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                        ucgstate=fs.UCGStateCfg(mode=mode),
+                        reneigh_every=4)
+        sim_s = Simulation(system, mk_state(), pk.compute_style, params,
+                           spec, cfg)
+        assert sim_s._slot_ok
+        assert sim_s._scores_inert == (mode == "ld")
+        sim_s.run(8)
+
+        sim_a = Simulation(system, mk_state(), pk.compute_style, params,
+                           spec, cfg)
+        sim_a._slot_ok = False
+        sim_a.run(8)
+
+        dx = np.asarray(sim_a.state.box.min_image(
+            sim_s.state.x - sim_a.state.x))
+        assert np.abs(dx).max() < 1e-6, f"x ({mode})"
+        for name, tol in (("v", 1e-6), ("ucgl", 1e-6), ("ucgvl", 1e-6),
+                          ("ucgp", 1e-6)):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sim_s.state, name)),
+                np.asarray(getattr(sim_a.state, name)), atol=tol,
+                err_msg=f"{name} ({mode})")
+        assert (np.asarray(sim_s.state.ucgstate)
+                == np.asarray(sim_a.state.ucgstate)).all()
+        np.testing.assert_allclose(float(sim_s._fcarry.pe),
+                                   float(sim_a._fcarry.pe), rtol=1e-6)
+
+
 def test_multi_type_kernel_matches_xla(rng):
     """Class-mask multi-type assembly: mixed plain-CG (type 1, 1-state) +
     UCG (type 2, 2-state) system vs the XLA path on identical candidates."""
