@@ -248,6 +248,25 @@ def run_drift(n: int) -> dict:
     return {"drift": abs(e1 - e0) / max(abs(e0), 1e-12)}
 
 
+def _wait_backend(max_wait_s: int = 1800) -> bool:
+    """Block until the accelerator backend initializes (the axon TPU worker
+    recovers from crashes on a timescale of minutes; a dead backend poisons
+    any process that touched it, so probe in subprocesses)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=240)
+            if "ok" in r.stdout:
+                return True
+        except Exception:
+            pass
+        time.sleep(90)
+    return False
+
+
 def _sub(cmd_args: list, timeout: int):
     try:
         out = subprocess.run([sys.executable, __file__] + cmd_args,
@@ -291,6 +310,7 @@ def main():
         result = run_main(n, args.steps, args.chunk)
         drift = run_drift(n)["drift"]
     else:
+        _wait_backend()
         result = None
         size = n
         attempted = []

@@ -73,6 +73,8 @@ class BetheDensityParams:
     backforce_derivative: bool = True
     pair_cv: str = "conservative"   # "conservative" | "reference"
     chunk: int = 0                  # row-chunk size (0 = unchunked)
+    cheb: "object | None" = None    # ChebBank for the fused Pallas kernel
+                                    # path (ops/pallas_pair.py); None = XLA
 
 
 def make_params(bank: TableBank, tp: UCGTypeParams, kT: float,

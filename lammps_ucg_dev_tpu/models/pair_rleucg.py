@@ -61,6 +61,8 @@ class RLEUCGParams:
     feedback: str = "always"
     conservative_sign: bool = True
     chunk: int = 0                  # row-chunk size (0 = unchunked)
+    cheb: "object | None" = None    # ChebBank for the fused Pallas kernel
+                                    # path (ops/pallas_pair.py); None = XLA
 
 
 def make_params(builder, st, kT: float, feedback: str = "always",

@@ -39,11 +39,15 @@ def select_pair_kernel(params, state, cutoff: float, skin: float,
     import jax.numpy as jnp
 
     from lammps_ucg_dev_tpu.models.pair_bethe import BetheParams
+    from lammps_ucg_dev_tpu.models.pair_bethe_density import (
+        BetheDensityParams)
+    from lammps_ucg_dev_tpu.models.pair_rleucg import RLEUCGParams
     from lammps_ucg_dev_tpu.models.pair_ucgld import UCGLDParams
 
     if force is False:
         return None
-    if not isinstance(params, (UCGLDParams, BetheParams)):
+    if not isinstance(params, (UCGLDParams, BetheParams,
+                               BetheDensityParams, RLEUCGParams)):
         return None
     if state.x.dtype != jnp.float32:
         return None
@@ -65,6 +69,14 @@ def select_pair_kernel(params, state, cutoff: float, skin: float,
         if not pk.supports(params, n):
             return None
         style_fn = pk.compute_style
+    elif isinstance(params, BetheDensityParams):
+        if not pk.supports_density(params, n):
+            return None
+        style_fn = pk.compute_style_density
+    elif isinstance(params, RLEUCGParams):
+        if not pk.supports_rleucg(params, n):
+            return None
+        style_fn = pk.compute_style_rleucg
     else:
         if not pk.supports_bethe(params, n):
             return None

@@ -75,8 +75,8 @@ def _type_classes(tp, n_tables: int) -> tuple:
         for ti in range(1, ntypes + 1) for tj in range(1, ntypes + 1))
 
 
-def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
-            dform, want_scores, *refs0):
+def _kernel(ce, degree, G, observe, style, mf, classes,
+            dform, want_scores, dstat, *refs0):
     """One program: G i-clusters vs 9 DMA'd stencil-column windows.
 
     ``style`` selects the per-candidate physics on the shared window/DMA
@@ -85,7 +85,16 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
     distribution (pair_table_ucg_bethe.cpp:544-604) — ipack attr 6 carries
     the i-role prior pi1 (from ucgl), window attr 3 the j-role prior pj1
     (from ucgp), and scal slot 6 carries kT.  ``mf`` selects the mean-field
-    p11 = pi1·pj1 ("method mf").
+    p11 = pi1·pj1 ("method mf").  "dbethe" = phase 2 of
+    table_ucg_bethe_density (pair_table_ucg_bethe_density.cpp:528-658):
+    the Bethe mixing of "bethe" (both roles' priors are the density
+    priors — ipack attr 6 AND window attr 3) plus the per-state
+    prior-probability force accumulators in out cols 3 (pf0) and 6 (pf1):
+    UCG partners tally the conservative reduced derivative
+    -(u11-u01 + kT ln(p11/p01)) in the state-1 slot (models/
+    pair_bethe_density pair_cv="conservative"); CG partners tally
+    -(u_{s0} + kT ln p_s) (:514-518).  ``dstat`` carries the static UCG
+    type values for the partner-kind mask (None = every type is UCG).
 
     All mixing runs in the **D-form basis** (A=00, B=10−00, C=01−00,
     D=11−01−10+00): both styles' 2x2 state mixtures reduce to
@@ -177,6 +186,16 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
     fx_b, fy_b, fz_b = zeros_b(), zeros_b(), zeros_b()
     if style == "ucgld":
         lamf_b = zeros_b()
+    if style == "dbethe":
+        # CG-partner prior-force terms need ln p_s of the i-atom's density
+        # prior (pi1 rides ipack attr 6): hoist the 2 logs per cluster
+        pi_c = [ipack_ref[slice(b * CL, (b + 1) * CL), 6:7]
+                for b in range(G)]
+        lp0_b = [jnp.log(jnp.maximum(1.0 - p, 1e-12)) for p in pi_c]
+        lp1_b = [jnp.log(jnp.maximum(p, 1e-12)) for p in pi_c]
+        pf0_b, pf1_b = zeros_b(), zeros_b()
+    if style == "rleucg":
+        pf0_b = zeros_b()
     if want_scores:
         s0_b, s1_b = zeros_b(), zeros_b()
     if observe:
@@ -303,10 +322,13 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
                 pi1 = ipack_ref[sl, 6:7]       # i-role prior (from ucgl)
                 pj1 = jnp.where(mask, lj, zero)  # j-role prior (from ucgp)
                 pipj = pi1 * pj1
-                if mf:
+                kT = scal_ref[0, 6]
+                if mf or style == "rleucg":
+                    # rleucg: mean-field mixing over substate probabilities
+                    # (pair_table_rleucg_interface.cpp:321-441) — identical
+                    # weight structure to "method mf"
                     p11 = pipj
                 else:
-                    kT = scal_ref[0, 6]
                     # J = u11+u00-u01-u10 is exactly the D channel
                     # overflow guard: the reference clamps at -700 kT
                     # (f64, :545-548); in f32 the closed form's Q² term
@@ -325,6 +347,37 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
                     p11 = jnp.where(Q < 0.0, root_neg, root_pos)
                     p11 = jnp.where(small, pipj, p11)
                 wB, wC, wD = pi1, pj1, p11
+
+            if style == "dbethe":
+                # prior-probability force tallies (models/pair_bethe_density
+                # pass2; pair_table_ucg_bethe_density.cpp:514-518,650-656).
+                # UCG partner (conservative reduced derivative, state-1
+                # slot): -(u11-u01 + kT ln(p11/p01)); CG partner:
+                # -(u_{s0} + kT ln p_s) with the hoisted per-i logs.
+                p01 = pj1 - p11
+                lr = jnp.log(jnp.maximum(p11, 1e-12)
+                             / jnp.maximum(p01, 1e-12))
+                pf1_u = (eB + eD) + kT * lr
+                if dstat is None:
+                    pf0_c = zero
+                    pf1_c = pf1_u
+                else:
+                    tjv_d = jwin[s, 7:8, :]
+                    jug = None
+                    for t in dstat:
+                        m = (tjv_d == float(t))
+                        jug = m if jug is None else (jug | m)
+                    pf0_cg = eA + kT * lp0_b[b]
+                    pf1_cg = (eA + eB) + kT * lp1_b[b]
+                    pf0_c = jnp.where(jug, zero, pf0_cg)
+                    pf1_c = jnp.where(jug, pf1_u, pf1_cg)
+                pf0_b[b] = pf0_b[b] - jnp.where(mask, pf0_c, zero)
+                pf1_b[b] = pf1_b[b] - jnp.where(mask, pf1_c, zero)
+            if style == "rleucg" and dstat:
+                # two-body probability feedback (:427-435), explicit
+                # substate 0 of a 2-substate type:
+                # pf_0 = -Σ_β p_jβ (u_0β - u_1β) = eB + pj1·eD
+                pf0_b[b] = pf0_b[b] + jnp.where(mask, eB + pj1 * eD, zero)
 
             fmix = jnp.where(mask, fA + wB * fB + wC * fC + wD * fD, zero)
             fx_b[b] = fx + fmix * dx
@@ -346,11 +399,42 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
                 oob_b[b] = oob
 
             if want_scores:
-                # pseudolikelihood scores at the partner's discrete state
-                # (sj ∈ {0.0, 1.0} exactly, so the select is a clean FMA)
-                s0_b[b] = s0 - jnp.where(mask, eA + sjr * eC, zero)
-                s1_b[b] = s1 - jnp.where(mask,
-                                         (eA + eB) + sjr * (eC + eD), zero)
+                if style == "bethe" and dstat is not None and dstat[0]:
+                    # full-SCE conditional expectations (``pseudo no``,
+                    # pair_table_ucg_bethe.cpp:583-601 intended pairing):
+                    # score_si = -Σ_sj p(sj|si) u(si,sj), with
+                    # p(sj|si) = p4[si,sj]/max(p_si, ε).  In the D-form:
+                    # s0 = -(c00+c01) eA - c01 eC,  cij = p_ij/p_i
+                    p0e = jnp.maximum(1.0 - pi1, 1e-6)
+                    p1e = jnp.maximum(pi1, 1e-6)
+                    p00 = 1.0 + p11 - pi1 - pj1
+                    p01v = pj1 - p11
+                    p10 = pi1 - p11
+                    c00 = p00 / p0e
+                    c01 = p01v / p0e
+                    c10 = p10 / p1e
+                    c11 = p11 / p1e
+                    sc0 = c00 * eA + c01 * (eA + eC)
+                    sc1 = (c10 * (eA + eB)
+                           + c11 * ((eA + eB) + (eC + eD)))
+                    if dstat[1] is not None:
+                        # plain partners take the pseudolikelihood form at
+                        # sj=0 (scenario-3 tallies, :443-447)
+                        tjv_s = jwin[s, 7:8, :]
+                        jug = None
+                        for t in dstat[1]:
+                            m = (tjv_s == float(t))
+                            jug = m if jug is None else (jug | m)
+                        sc0 = jnp.where(jug, sc0, eA)
+                        sc1 = jnp.where(jug, sc1, eA + eB)
+                    s0_b[b] = s0 - jnp.where(mask, sc0, zero)
+                    s1_b[b] = s1 - jnp.where(mask, sc1, zero)
+                else:
+                    # pseudolikelihood scores at the partner's discrete
+                    # state (sj ∈ {0.0, 1.0} exactly: a clean FMA)
+                    s0_b[b] = s0 - jnp.where(mask, eA + sjr * eC, zero)
+                    s1_b[b] = s1 - jnp.where(
+                        mask, (eA + eB) + sjr * (eC + eD), zero)
 
     for b in range(G):
         sl = slice(b * CL, (b + 1) * CL)
@@ -358,14 +442,20 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
         out_ref[sl, 1:2] = jnp.sum(fy_b[b], axis=1, keepdims=True)
         out_ref[sl, 2:3] = jnp.sum(fz_b[b], axis=1, keepdims=True)
         zcol = jnp.zeros((CL, 1), jnp.float32)
-        out_ref[sl, 3:4] = (jnp.sum(lamf_b[b], axis=1, keepdims=True)
-                            if style == "ucgld" else zcol)
+        if style == "ucgld":
+            out_ref[sl, 3:4] = jnp.sum(lamf_b[b], axis=1, keepdims=True)
+        elif style in ("dbethe", "rleucg"):
+            out_ref[sl, 3:4] = jnp.sum(pf0_b[b], axis=1, keepdims=True)
+        else:
+            out_ref[sl, 3:4] = zcol
         if want_scores:
             out_ref[sl, 4:5] = jnp.sum(s0_b[b], axis=1, keepdims=True)
             out_ref[sl, 5:6] = jnp.sum(s1_b[b], axis=1, keepdims=True)
         else:
             out_ref[sl, 4:6] = jnp.zeros((CL, 2), jnp.float32)
-        out_ref[sl, 6:8] = jnp.zeros((CL, 2), jnp.float32)
+        out_ref[sl, 6:7] = (jnp.sum(pf1_b[b], axis=1, keepdims=True)
+                            if style == "dbethe" else zcol)
+        out_ref[sl, 7:8] = zcol
 
         if observe:
             pe_t = pe_t + jnp.sum(pe_b[b])
@@ -381,45 +471,14 @@ def _kernel(ce, degree, G, gpc, czp, gz, S, observe, style, mf, classes,
         out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
 
 
-def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
-                observe: bool, style: str, mf: bool, interpret: bool,
-                classes: "tuple | None" = None, want_scores: bool = True):
-    """Shared pallas_call scaffolding for every kernel style.
-
-    Single-class systems get the D-form transform at the COEFFICIENT level
-    (rows become [eA eB eC eD fA fB fC fD], or [eB eD fA..fD] when scores
-    are skipped) — the 2x2 mixing basis change costs nothing at runtime.
-    Multi-class systems keep raw channel rows (shared across classes) and
-    convert in-kernel after mask assembly."""
-    interpret = _auto_interpret(interpret)
+def _call_windows(kern, cl: colpack.ColumnList, scal, ipack, pages,
+                  observe: bool, interpret: bool):
+    """Shared pallas_call scaffolding: one program per (column, group) with
+    9 window DMAs; (n_slots, 8) per-atom outputs (+ per-program partials
+    when ``observe``)."""
     dtype = jnp.float32
-    G, gs, gpc = cl.G, cl.gs, cl.cz // cl.gs
+    gs = cl.gs
     n_prog = cl.n_prog
-    ce_np = np.asarray(cheb.coeffs, np.float64)
-    dform = classes is not None and len(classes) == 1
-    if dform:
-        T = ce_np.shape[0] // 2
-        i00, i01, i10, i11 = classes[0][2]
-
-        def _abcd(base):
-            A = ce_np[base + i00]
-            return (A, ce_np[base + i10] - A, ce_np[base + i01] - A,
-                    (ce_np[base + i11] - ce_np[base + i01])
-                    - (ce_np[base + i10] - ce_np[base + i00]))
-
-        eA, eB, eC, eD = _abcd(0)
-        fA, fB, fC, fD = _abcd(T)
-        if want_scores or observe or style != "ucgld":
-            rows = [eA, eB, eC, eD, fA, fB, fC, fD]
-        else:
-            rows = [eB, eD, fA, fB, fC, fD]
-        ce = [[float(c) for c in r] for r in rows]
-    else:
-        ce = [[float(c) for c in row] for row in ce_np]
-    kern = functools.partial(_kernel, ce, cheb.degree, G, gpc, cl.czp, cl.gz,
-                             cl.S, observe, style, mf, classes, dform,
-                             want_scores)
-
     meta = cl.meta
     if meta.shape[0] % 8:
         meta = jnp.pad(meta, ((0, -meta.shape[0] % 8), (0, 0)))
@@ -452,6 +511,207 @@ def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
         ],
         interpret=interpret,
     )(scal, meta, ipack, pages)
+
+
+def _kernel_cv(G, observe, mode, dstat, *refs0):
+    """Geometry-only window kernels for the density styles (P3): no tables,
+    no state mixing — same window/DMA scaffolding as :func:`_kernel`.
+
+    ``mode="rho"``: per-atom local density ρ_i = Σ w(r) and real neighbor
+    count (pair_table_ucg_bethe_density.cpp:219-255); w is the tanh
+    proximity function (density.proximity).
+    ``mode="cv"``: CV back-force F_i = Σ_j (cvf_i g_i + cvf_j g_j)/r · dr
+    (:698-733) — cvf_i rides ipack attr 6, cvf_j window attr 3; ``g`` is
+    -dw/dr (backforce_derivative=True) or the reference-literal w(r)
+    (:719).
+
+    ``dstat``: (rads, gform) with ``rads`` a tuple of (type_value, radius)
+    per type (one entry = static constant radius) and ``gform`` the g(r)
+    form: "mder" = -dw/dr (the conservative chain rule, P3
+    backforce_derivative / P4 conservative_sign), "pder" = +dw/dr (P4
+    reference-literal, :480), "w" = w(r) (P3 reference-literal, :719).
+    """
+    scal_ref, meta_ref, ipack_ref, pages_ref, *refs = refs0
+    if observe:
+        out_ref, out2_ref, jwin, sems = refs
+    else:
+        out_ref, jwin, sems = refs
+        out2_ref = None
+    mrow = pl.program_id(0) % 8
+
+    def window_dma(s):
+        c = meta_ref[mrow, s]
+        page = meta_ref[mrow, NSTEN + s]
+        return pltpu.make_async_copy(
+            pages_ref.at[page, c], jwin.at[s], sems.at[s])
+
+    for s in range(NSTEN):
+        window_dma(s).start()
+
+    Lx = scal_ref[0, 0]
+    Ly = scal_ref[0, 1]
+    cutsq = scal_ref[0, 2]
+
+    for s in range(NSTEN):
+        window_dma(s).wait()
+        code = meta_ref[mrow, 2 * NSTEN + s]
+        sx = (code // 3 - 1).astype(jnp.float32)
+        sy = (code % 3 - 1).astype(jnp.float32)
+        jwin[s, 0:1, :] = jwin[s, 0:1, :] + sx * Lx
+        jwin[s, 1:2, :] = jwin[s, 1:2, :] + sy * Ly
+
+    rads, gform = dstat
+
+    def rad_of(tv):
+        if len(rads) == 1:
+            return rads[0][1]
+        acc = None
+        for (t, r) in rads:
+            m = (tv == float(t)).astype(jnp.float32) * r
+            acc = m if acc is None else acc + m
+        return acc
+
+    xi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 0:1] for b in range(G)]
+    yi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 1:2] for b in range(G)]
+    zi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 2:3] for b in range(G)]
+    if len(rads) > 1:
+        ri_b = [rad_of(ipack_ref[slice(b * CL, (b + 1) * CL), 7:8])
+                for b in range(G)]
+    else:
+        ri_b = [rads[0][1] for _ in range(G)]
+    if mode == "cv":
+        ci_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 6:7]
+                for b in range(G)]
+    if observe:
+        vi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 5:6]
+                for b in range(G)]
+
+    def zeros_b():
+        return [jnp.zeros((CL, W), jnp.float32) for _ in range(G)]
+
+    a0_b, a1_b, a2_b = zeros_b(), zeros_b(), zeros_b()
+    if observe and mode == "cv":
+        vir_b = [[jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
+                 for _ in range(G)]
+
+    for s in range(NSTEN):
+        xj = jwin[s, 0:1, :]
+        yj = jwin[s, 1:2, :]
+        zj = jwin[s, 2:3, :]
+        if mode == "cv":
+            cj = jwin[s, 3:4, :]
+            rj = (rad_of(jwin[s, 7:8, :]) if len(rads) > 1
+                  else rads[0][1])
+        if observe:
+            vjr = jwin[s, 5:6, :]
+
+        for b in range(G):
+            dx = xi_b[b] - xj
+            dy = yi_b[b] - yj
+            dz = zi_b[b] - zj
+            rsq = dx * dx + dy * dy + dz * dz
+            mask = (rsq < cutsq) & (rsq > 0.0)
+            if observe:
+                mask = mask & (vjr > 0.5) & (vi_b[b] > 0.5)
+            r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+            ri = ri_b[b]
+            zero = jnp.zeros_like(r)
+
+            if mode == "rho":
+                t = jnp.tanh((r - ri) / (0.1 * ri))
+                a0_b[b] = a0_b[b] + jnp.where(mask, 0.5 * (1.0 - t), zero)
+                a1_b[b] = a1_b[b] + jnp.where(mask, 1.0, 0.0)
+            else:
+                ti = jnp.tanh((r - ri) / (0.1 * ri))
+                tj = (ti if len(rads) == 1
+                      else jnp.tanh((r - rj) / (0.1 * rj)))
+                if gform in ("mder", "pder"):
+                    sgn = -0.5 if gform == "mder" else 0.5
+                    gi = sgn * (1.0 - ti * ti) / (0.1 * ri)
+                    gj = sgn * (1.0 - tj * tj) / (0.1 * (rj if len(rads) > 1
+                                                         else ri))
+                else:
+                    gi = 0.5 * (1.0 - ti)
+                    gj = 0.5 * (1.0 - tj)
+                fcv = jnp.where(mask, (ci_b[b] * gi + cj * gj) / r, zero)
+                a0_b[b] = a0_b[b] + fcv * dx
+                a1_b[b] = a1_b[b] + fcv * dy
+                a2_b[b] = a2_b[b] + fcv * dz
+                if observe:
+                    vir = vir_b[b]
+                    vir[0] = vir[0] + fcv * dx * dx
+                    vir[1] = vir[1] + fcv * dy * dy
+                    vir[2] = vir[2] + fcv * dz * dz
+                    vir[3] = vir[3] + fcv * dx * dy
+                    vir[4] = vir[4] + fcv * dx * dz
+                    vir[5] = vir[5] + fcv * dy * dz
+
+    for b in range(G):
+        sl = slice(b * CL, (b + 1) * CL)
+        out_ref[sl, 0:1] = jnp.sum(a0_b[b], axis=1, keepdims=True)
+        out_ref[sl, 1:2] = jnp.sum(a1_b[b], axis=1, keepdims=True)
+        out_ref[sl, 2:3] = jnp.sum(a2_b[b], axis=1, keepdims=True)
+        out_ref[sl, 3:8] = jnp.zeros((CL, 5), jnp.float32)
+
+    if observe:
+        if mode == "cv":
+            vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
+            for b in range(G):
+                for v in range(6):
+                    vir_t[v] = vir_t[v] + jnp.sum(vir_b[b][v])
+            row = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32)]
+                + [v[None] for v in vir_t]
+                + [jnp.zeros((1,), jnp.float32)])[None, :]
+        else:
+            row = jnp.zeros((1, 8), jnp.float32)
+        out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
+
+
+def _run_kernel_cv(cl: colpack.ColumnList, scal, ipack, pages,
+                   observe: bool, mode: str, dstat, interpret):
+    interpret = _auto_interpret(interpret)
+    kern = functools.partial(_kernel_cv, cl.G, observe, mode, dstat)
+    return _call_windows(kern, cl, scal, ipack, pages, observe, interpret)
+
+
+def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
+                observe: bool, style: str, mf: bool, interpret: bool,
+                classes: "tuple | None" = None, want_scores: bool = True,
+                dstat=None):
+    """Shared pallas_call scaffolding for every kernel style.
+
+    Single-class systems get the D-form transform at the COEFFICIENT level
+    (rows become [eA eB eC eD fA fB fC fD], or [eB eD fA..fD] when scores
+    are skipped) — the 2x2 mixing basis change costs nothing at runtime.
+    Multi-class systems keep raw channel rows (shared across classes) and
+    convert in-kernel after mask assembly."""
+    interpret = _auto_interpret(interpret)
+    G = cl.G
+    ce_np = np.asarray(cheb.coeffs, np.float64)
+    dform = classes is not None and len(classes) == 1
+    if dform:
+        T = ce_np.shape[0] // 2
+        i00, i01, i10, i11 = classes[0][2]
+
+        def _abcd(base):
+            A = ce_np[base + i00]
+            return (A, ce_np[base + i10] - A, ce_np[base + i01] - A,
+                    (ce_np[base + i11] - ce_np[base + i01])
+                    - (ce_np[base + i10] - ce_np[base + i00]))
+
+        eA, eB, eC, eD = _abcd(0)
+        fA, fB, fC, fD = _abcd(T)
+        if want_scores or observe or style != "ucgld":
+            rows = [eA, eB, eC, eD, fA, fB, fC, fD]
+        else:
+            rows = [eB, eD, fA, fB, fC, fD]
+        ce = [[float(c) for c in r] for r in rows]
+    else:
+        ce = [[float(c) for c in row] for row in ce_np]
+    kern = functools.partial(_kernel, ce, cheb.degree, G, observe, style,
+                             mf, classes, dform, want_scores, dstat)
+    return _call_windows(kern, cl, scal, ipack, pages, observe, interpret)
 
 
 def _auto_interpret(interpret: "bool | None") -> bool:
@@ -595,20 +855,13 @@ def compute_slot(state: SimState, cl: colpack.ColumnList,
     classes = _type_classes(tp, params.bank.n_tables)
     is_ucg = tp.n_states[state.typ] > 1
     lam_eff = jnp.where(is_ucg, state.ucgl, 0.0)
-    attrs = jnp.concatenate([
-        state.x.astype(dtype),
-        lam_eff.astype(dtype)[:, None],
-        state.ucgstate.astype(dtype)[:, None],
-        cl.i_valid.astype(dtype)[:, None],
-        jnp.zeros((n_slots, 1), dtype),
-        (state.typ.astype(dtype)[:, None] if len(classes) > 1
-         else jnp.zeros((n_slots, 1), dtype)),
-    ], axis=1)
-    # materialization fence: without it XLA fuses the integrator's
-    # elementwise producers into pack_slots' transpose/page-stack, which
-    # destroys the transpose's tiled lowering (~25 ns/atom measured)
-    attrs = jax.lax.optimization_barrier(attrs)
-    pages = colpack.pack_slots(cl, state.box, attrs)
+    # _pack_dispatch fences attrs behind an optimization_barrier: without
+    # it XLA fuses the integrator's elementwise producers into pack_slots'
+    # transpose/page-stack, destroying the transpose's tiled lowering
+    # (~25 ns/atom measured)
+    attrs, pages = _pack_dispatch(
+        True, cl, state.box, state.x, lam_eff, state.ucgstate, dtype,
+        typ=(state.typ if len(classes) > 1 else None))
     L = state.box.lengths.astype(dtype)
     uscale, uoff = _u_map(cheb, dtype)
     scal = jnp.stack([
@@ -666,39 +919,73 @@ compute_style.slot_fast_noscores = compute_style_slot_fast_noscores
 
 def supports_bethe(params, n_atoms: int) -> bool:
     """Static eligibility of the fused Bethe kernel: same geometry scope as
-    table_ucgld, plus pseudolikelihood scores only (full-SCE stays on the
-    XLA path)."""
+    table_ucgld (up to 3 actual types, each plain or 2-state, via the
+    class-mask 2x2 block assembly — the closed form degenerates exactly
+    for plain partners since their priors are zeroed); both
+    pseudolikelihood and full-SCE score modes."""
     from lammps_ucg_dev_tpu.models.pair_bethe import BetheParams
 
     if not isinstance(params, BetheParams):
         return False
     tp = params.tp
     ntypes = tp.cutsq.shape[0] - 1
-    return (
-        bool(params.bank.uniform)
-        and params.bank.n_tables == 4
-        and ntypes == 1
-        and int(np.asarray(tp.n_states)[1]) == 2
-        and params.pseudo
-    )
+    if not bool(params.bank.uniform) or ntypes < 1:
+        return False
+    ns = np.asarray(tp.n_states)[1:]
+    if not np.all((ns == 1) | (ns == 2)) or not np.any(ns == 2):
+        return False
+    cuts = np.asarray(tp.cutsq)[1:, 1:]
+    if not np.allclose(cuts, cuts[0, 0]):
+        return False
+    # sentinel-atom prior fallbacks (prior flag) are host-side (_priors),
+    # shared with the XLA path — no kernel constraint
+    return params.bank.n_tables <= 8 and ntypes <= 3
+
+
+def _pack_dispatch(slot: bool, cl, box, x, lam, ucgstate, dtype,
+                   aux=None, typ=None):
+    """pack (atom-ordered) vs pack_slots (slot-resident) with one call
+    site: the slot variant assembles the i-side attrs by CONCAT of the
+    resident slot arrays (valid col = i_valid; pad rows already poisoned
+    via the slot gather) behind a materialization fence."""
+    if not slot:
+        return colpack.pack(cl, box, x, lam, ucgstate, dtype=dtype,
+                            aux=aux, typ=typ)
+    n_slots = x.shape[0]
+    attrs = jnp.concatenate([
+        x.astype(dtype),
+        lam.astype(dtype)[:, None],
+        ucgstate.astype(dtype)[:, None],
+        cl.i_valid.astype(dtype)[:, None],
+        (jnp.zeros((n_slots, 1), dtype) if aux is None
+         else aux.astype(dtype)[:, None]),
+        (jnp.zeros((n_slots, 1), dtype) if typ is None
+         else typ.astype(dtype)[:, None]),
+    ], axis=1)
+    attrs = jax.lax.optimization_barrier(attrs)
+    return attrs, colpack.pack_slots(cl, box, attrs)
 
 
 def compute_bethe(state: SimState, cl: colpack.ColumnList, params,
                   cheb: ChebBank, interpret: bool = False,
-                  observe: bool = True) -> ForceOut:
+                  observe: bool = True, slot: bool = False) -> ForceOut:
     """Fused ``table_ucg_bethe`` evaluation: closed-form Bethe pij per
     candidate (pair_table_ucg_bethe.cpp:544-604) on the column-window
     scaffolding.  Priors are computed host-side exactly like the XLA path
     (models/pair_bethe._priors): ipack aux = pi1 (i-role, from ucgl),
-    window attr 3 = pj1 (j-role, from ucgp)."""
+    window attr 3 = pj1 (j-role, from ucgp).  ``slot=True``: state is
+    slot-resident (see compute_slot) — no pack gather, no out-take."""
     from lammps_ucg_dev_tpu.models import pair_bethe
 
     tp = params.tp
     dtype = jnp.float32
 
+    classes = _type_classes(tp, params.bank.n_tables)
     pi1, pj1 = pair_bethe._priors(state, params)
-    ipack, pages = colpack.pack(cl, state.box, state.x, pj1,
-                                state.ucgstate, dtype=dtype, aux=pi1)
+    ipack, pages = _pack_dispatch(slot, cl, state.box, state.x, pj1,
+                                  state.ucgstate, dtype, aux=pi1,
+                                  typ=(state.typ if len(classes) > 1
+                                       else None))
     L = state.box.lengths.astype(dtype)
     kT = params.kT.astype(dtype)
     uscale, uoff = _u_map(cheb, dtype)
@@ -710,12 +997,17 @@ def compute_bethe(state: SimState, cl: colpack.ColumnList, params,
         kT, jnp.zeros((), dtype),
     ])[None, :]
 
+    ntypes = tp.cutsq.shape[0] - 1
+    ucg_types = tuple(
+        int(t) for t in range(1, ntypes + 1)
+        if int(np.asarray(tp.n_states)[t]) > 1)
+    jug = None if len(ucg_types) == ntypes else ucg_types
     outs = _run_kernel(cl, scal, ipack, pages, cheb, observe,
                        style="bethe", mf=params.method == "mf",
-                       interpret=interpret,
-                       classes=_type_classes(tp, params.bank.n_tables))
-    out_at = jnp.take(outs[0], cl.atom_slot, axis=0,
-                      mode="clip")                               # (N, 8)
+                       interpret=interpret, classes=classes,
+                       dstat=(not params.pseudo, jug))
+    out_at = (outs[0] if slot else
+              jnp.take(outs[0], cl.atom_slot, axis=0, mode="clip"))
     f = out_at[:, 0:3]
     is_ucg = tp.n_states[state.typ] > 1
     # chemical-potential score initialization (:155-162)
@@ -754,7 +1046,372 @@ def compute_style_bethe_fast(state: SimState, cl: colpack.ColumnList,
                          interpret=None)
 
 
+def compute_style_bethe_slot_fast(state: SimState, cl: colpack.ColumnList,
+                                  params) -> ForceOut:
+    """Slot-resident interior-step variant of the Bethe kernel."""
+    return compute_bethe(state, cl, params, params.cheb, observe=False,
+                         interpret=None, slot=True)
+
+
 compute_style_bethe.fast_variant = compute_style_bethe_fast
+compute_style_bethe.slot_fast = compute_style_bethe_slot_fast
+
+
+def supports_density(params, n_atoms: int) -> bool:
+    """Static eligibility of the fused ``table_ucg_bethe_density`` (P3)
+    3-pass kernel path: same geometry scope as the other styles, plus the
+    conservative pair-CV mode only (pair_cv="reference" transcribes the
+    reference's self-cancelling literal form — XLA path)."""
+    from lammps_ucg_dev_tpu.models.pair_bethe_density import (
+        BetheDensityParams)
+
+    if not isinstance(params, BetheDensityParams):
+        return False
+    if params.pair_cv != "conservative":
+        return False
+    tp = params.tp
+    ntypes = tp.cutsq.shape[0] - 1
+    if not bool(params.bank.uniform) or ntypes < 1:
+        return False
+    ns = np.asarray(tp.n_states)[1:]
+    if not np.all((ns == 1) | (ns == 2)) or not np.any(ns == 2):
+        return False
+    cuts = np.asarray(tp.cutsq)[1:, 1:]
+    if not np.allclose(cuts, cuts[0, 0]):
+        return False
+    return params.bank.n_tables <= 8 and ntypes <= 3
+
+
+def compute_density(state: SimState, cl: colpack.ColumnList, params,
+                    cheb: ChebBank, interpret: "bool | None" = None,
+                    observe: bool = True, want_scores: bool = True,
+                    slot: bool = False) -> ForceOut:
+    """Fused ``table_ucg_bethe_density`` (P3) evaluation: THREE window-kernel
+    passes over the same column structure, mirroring the reference's
+    three loops (pair_table_ucg_bethe_density.cpp:219-255, 528-658,
+    698-733):
+
+      1. ρ pass (_kernel_cv mode="rho"): per-atom proximity density +
+         real neighbor count.  Priors/one-body terms are elementwise XLA
+         between the passes (models/pair_bethe_density._priors).
+      2. Bethe pass (_kernel style="dbethe"): density-prior Bethe mixing,
+         prior-probability force tallies, pseudolikelihood scores.
+      3. CV pass (_kernel_cv mode="cv"): the ∂ρ/∂x back-force from
+         cvf = Σ_s pf_s ∂p_s/∂ρ.
+
+    ``want_scores=False`` (interior steps, no ucgstate feedback) skips the
+    score tallies; the returned ucgp is then None so the driver does not
+    overwrite the carried posterior with softmax(0)."""
+    from lammps_ucg_dev_tpu.models import common as mcommon
+    from lammps_ucg_dev_tpu.models import pair_bethe_density as pbd
+
+    tp = params.tp
+    dtype = jnp.float32
+    n = state.x.shape[0]
+    typ = state.typ
+    kT = params.kT.astype(dtype)
+    classes = _type_classes(tp, params.bank.n_tables)
+    multi = len(classes) > 1
+    ntypes = tp.cutsq.shape[0] - 1
+
+    is_ucg = tp.n_states[typ] > 1
+    use_den = (tp.use_density[typ] == 1) & is_ucg
+    use_ent = tp.use_entropy[typ] == 1
+    rad_np = np.maximum(np.asarray(tp.threshold_radius, np.float64), 1e-12)
+    rads = tuple((t, float(rad_np[t])) for t in range(1, ntypes + 1))
+    if len({r for (_, r) in rads}) == 1:
+        rads = (rads[0],)                     # uniform radius: one constant
+
+    L = state.box.lengths.astype(dtype)
+    zeros_n = jnp.zeros((n,), dtype)
+    base_scal = [L[0], L[1], tp.cutsq[1, 1].astype(dtype),
+                 params.bank.innersq[0].astype(dtype)]
+    zf = jnp.zeros((), dtype)
+    scal_cv = jnp.stack(base_scal + [zf, zf, zf, zf])[None, :]
+    typ_col = state.typ if (multi or len(rads) > 1) else None
+
+    # ---- pass 1: density --------------------------------------------------
+    ipack1, pages1 = _pack_dispatch(slot, cl, state.box, state.x, zeros_n,
+                                    zeros_n, dtype, typ=typ_col)
+    out1 = _run_kernel_cv(cl, scal_cv, ipack1, pages1, False, "rho",
+                          (rads, "mder"), interpret)[0]
+    at1 = (out1 if slot else
+           jnp.take(out1, cl.atom_slot, axis=0, mode="clip"))
+    rho = at1[:, 0]
+    n_real = at1[:, 1]
+
+    prior, partial0 = pbd._priors(params, typ, rho)
+    pi1_all = prior[:, 1].astype(dtype)
+    logp_all = jnp.log(jnp.maximum(prior, 1e-12))
+    mu_i = tp.mu[tp.formal[typ]]
+    one_body = -mu_i - jnp.where(
+        (use_ent & use_den)[:, None],
+        kT * logp_all * (1.0 - n_real)[:, None], 0.0)
+
+    # ---- pass 2: Bethe mixing + prior forces + scores ---------------------
+    ipack2, pages2 = _pack_dispatch(slot, cl, state.box, state.x, pi1_all,
+                                    state.ucgstate, dtype, aux=pi1_all,
+                                    typ=(state.typ if multi else None))
+    uscale, uoff = _u_map(cheb, dtype)
+    scal2 = jnp.stack(base_scal + [uscale, uoff, kT, zf])[None, :]
+    ucg_types = tuple(
+        int(t) for t in range(1, ntypes + 1)
+        if int(np.asarray(tp.n_states)[t]) > 1)
+    dstat = None if len(ucg_types) == ntypes else ucg_types
+    outs2 = _run_kernel(cl, scal2, ipack2, pages2, cheb, observe,
+                        style="dbethe", mf=params.method == "mf",
+                        interpret=interpret, classes=classes,
+                        want_scores=want_scores, dstat=dstat)
+    at2 = (outs2[0] if slot else
+           jnp.take(outs2[0], cl.atom_slot, axis=0, mode="clip"))
+    f = at2[:, 0:3]
+    pforce = jnp.stack([at2[:, 3], at2[:, 6]], axis=-1)
+    pforce = jnp.where(use_den[:, None], pforce + one_body, 0.0)
+    if want_scores:
+        scores = at2[:, 4:6] / kT
+        scores = scores - jnp.where(use_den[:, None], mu_i / kT, 0.0)
+        scores = jnp.where(is_ucg[:, None], scores, 0.0)
+        ucgp = mcommon.softmax_posterior(scores, is_ucg)
+    else:
+        scores = jnp.zeros((n, 2), dtype)
+        ucgp = None
+
+    # ---- pass 3: CV back-force -------------------------------------------
+    partial = jnp.stack([partial0, -partial0], axis=-1)
+    cvf_all = jnp.sum(pforce * partial, axis=-1).astype(dtype)
+    cvf_all = jnp.where(use_den, cvf_all, 0.0)
+    ipack3, pages3 = _pack_dispatch(slot, cl, state.box, state.x, cvf_all,
+                                    zeros_n, dtype, aux=cvf_all,
+                                    typ=typ_col)
+    outs3 = _run_kernel_cv(
+        cl, scal_cv, ipack3, pages3, observe, "cv",
+        (rads, "mder" if params.backforce_derivative else "w"), interpret)
+    at3 = (outs3[0] if slot else
+           jnp.take(outs3[0], cl.atom_slot, axis=0, mode="clip"))
+    f = f + at3[:, 0:3]
+
+    if observe:
+        tot2 = jnp.sum(outs2[1][::8], axis=0)
+        tot3 = jnp.sum(outs3[1][::8], axis=0)
+        pe = 0.5 * tot2[0]
+        virial = 0.5 * (tot2[1:7] + tot3[1:7])
+        oob_low = tot2[7].astype(jnp.int32)
+    else:
+        pe = jnp.zeros((), dtype)
+        virial = jnp.zeros((6,), dtype)
+        oob_low = jnp.zeros((), jnp.int32)
+    return ForceOut(
+        f=f, ucgforce=jnp.zeros_like(rho), scores=scores, pe=pe,
+        virial=virial, ucgp=ucgp, oob_low=oob_low,
+        oob_high=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_style_density(state: SimState, cl: colpack.ColumnList,
+                          params) -> ForceOut:
+    """Simulation-compatible pair_compute for the fused P3 kernel."""
+    return compute_density(state, cl, params, params.cheb, interpret=None)
+
+
+def compute_style_density_fast(state: SimState, cl: colpack.ColumnList,
+                               params) -> ForceOut:
+    return compute_density(state, cl, params, params.cheb, observe=False,
+                           interpret=None)
+
+
+def compute_style_density_fast_noscores(state: SimState,
+                                        cl: colpack.ColumnList,
+                                        params) -> ForceOut:
+    return compute_density(state, cl, params, params.cheb, observe=False,
+                           interpret=None, want_scores=False)
+
+
+def compute_style_density_slot_fast(state: SimState,
+                                    cl: colpack.ColumnList,
+                                    params) -> ForceOut:
+    """Slot-resident interior-step variant of the P3 kernel."""
+    return compute_density(state, cl, params, params.cheb, observe=False,
+                           interpret=None, slot=True)
+
+
+def compute_style_density_slot_fast_noscores(state: SimState,
+                                             cl: colpack.ColumnList,
+                                             params) -> ForceOut:
+    return compute_density(state, cl, params, params.cheb, observe=False,
+                           interpret=None, want_scores=False, slot=True)
+
+
+compute_style_density.fast_variant = compute_style_density_fast
+compute_style_density.fast_variant_noscores = (
+    compute_style_density_fast_noscores)
+compute_style_density.slot_fast = compute_style_density_slot_fast
+compute_style_density.slot_fast_noscores = (
+    compute_style_density_slot_fast_noscores)
+
+
+def _rleucg_classes(params) -> tuple:
+    """Static (ti, tj, (i00, i01, i10, i11)) over ordered SUBSTATE-type
+    pairs — P4's type space is the substate types, so ``tabSS`` plays the
+    role of tab4 (pair_table_rleucg_interface.cpp:321-441)."""
+    tabSS = np.asarray(params.tabSS)
+    S = params.cutsq.shape[0] - 1
+    return tuple(
+        (ti, tj, tuple(int(v) for v in tabSS[ti, tj].reshape(-1)))
+        for ti in range(1, S + 1) for tj in range(1, S + 1))
+
+
+def supports_rleucg(params, n_atoms: int) -> bool:
+    """Static eligibility of the fused ``table_rleucg_interface`` (P4)
+    3-pass kernel path: 2 substates max (the D-form 2x2 machinery), up to
+    3 substate types, uniform tables with one shared cutoff."""
+    from lammps_ucg_dev_tpu.models.pair_rleucg import RLEUCGParams
+
+    if not isinstance(params, RLEUCGParams):
+        return False
+    if params.max_states != 2 or params.feedback not in ("always", "never"):
+        return False
+    S = params.cutsq.shape[0] - 1
+    if not bool(params.bank.uniform) or S < 1 or S > 3:
+        return False
+    cuts = np.asarray(params.cutsq)[1:, 1:]
+    if not np.allclose(cuts, cuts[0, 0]):
+        return False
+    return params.bank.n_tables <= 8
+
+
+def compute_rleucg(state: SimState, cl: colpack.ColumnList, params,
+                   cheb: ChebBank, interpret: "bool | None" = None,
+                   observe: bool = True, slot: bool = False) -> ForceOut:
+    """Fused ``table_rleucg_interface`` (P4) evaluation: THREE window-kernel
+    passes mirroring the reference's loops
+    (pair_table_rleucg_interface.cpp:231-276, 321-441, 444-502):
+
+      1. ρ pass (_kernel_cv "rho") → substate probabilities (host
+         elementwise, models/pair_rleucg.substate_probs).
+      2. mean-field pass (_kernel style="rleucg"): Σ_αβ p_α p_β u_αβ mixing
+         in the D-form basis + the two-body probability feedback tally
+         pf_0 = eB + pj1·eD (feedback="always").
+      3. CV pass (_kernel_cv "cv") with g = ∓dw/dr per
+         ``conservative_sign``."""
+    from lammps_ucg_dev_tpu.models import pair_rleucg as pr4
+
+    dtype = jnp.float32
+    n = state.x.shape[0]
+    typ = state.typ
+    kT = params.kT.astype(dtype)
+    classes = _rleucg_classes(params)
+    S = params.cutsq.shape[0] - 1
+    Smax = params.max_states
+
+    act_np = np.asarray(params.actual_from_state)
+    rad_act = np.maximum(np.asarray(params.threshold_radius, np.float64),
+                         1e-12)
+    rads = tuple((t, float(rad_act[act_np[t]])) for t in range(1, S + 1))
+    if len({r for (_, r) in rads}) == 1:
+        rads = (rads[0],)
+
+    L = state.box.lengths.astype(dtype)
+    zeros_n = jnp.zeros((n,), dtype)
+    zf = jnp.zeros((), dtype)
+    base_scal = [L[0], L[1], params.cutsq[1, 1].astype(dtype),
+                 params.bank.innersq[0].astype(dtype)]
+    scal_cv = jnp.stack(base_scal + [zf, zf, zf, zf])[None, :]
+    typ_col = state.typ if (len(classes) > 1 or len(rads) > 1) else None
+
+    # ---- pass 1: density → substate probabilities -------------------------
+    ipack1, pages1 = _pack_dispatch(slot, cl, state.box, state.x, zeros_n,
+                                    zeros_n, dtype, typ=typ_col)
+    out1 = _run_kernel_cv(cl, scal_cv, ipack1, pages1, False, "rho",
+                          (rads, "mder"), interpret)[0]
+    rho = (out1[:, 0] if slot else
+           jnp.take(out1[:, 0], cl.atom_slot, mode="clip"))
+    probs_all, partial = pr4.substate_probs(params, typ, rho)
+
+    act = params.actual_from_state[typ]
+    ns = params.n_states[act]
+    s_idx = jnp.arange(Smax, dtype=jnp.int32)[None, :]
+    multi = (ns > 1)[:, None]
+    explicit_all = (s_idx < (ns - 1)[:, None]) & multi
+    ent = (params.use_entropy[act] == 1)[:, None] & multi
+    logp = jnp.log(jnp.maximum(probs_all, 1e-12))
+    p_last = jnp.take_along_axis(probs_all,
+                                 jnp.maximum(ns - 1, 0)[:, None], axis=1)
+    log_plast = jnp.log(jnp.maximum(p_last, 1e-12))
+    mu_s = params.mu[jnp.minimum(typ[:, None] + s_idx,
+                                 params.mu.shape[0] - 1)]
+    pforce_one = jnp.where(
+        explicit_all,
+        -mu_s + jnp.where(ent, -kT * logp + kT * log_plast, 0.0), 0.0)
+
+    # ---- pass 2: mean-field mixing + probability feedback -----------------
+    a_all = probs_all[:, 1].astype(dtype)     # P(substate 1); 0 for plain
+    ipack2, pages2 = _pack_dispatch(slot, cl, state.box, state.x, a_all,
+                                    zeros_n, dtype, aux=a_all,
+                                    typ=(state.typ if len(classes) > 1
+                                         else None))
+    uscale, uoff = _u_map(cheb, dtype)
+    scal2 = jnp.stack(base_scal + [uscale, uoff, kT, zf])[None, :]
+    outs2 = _run_kernel(cl, scal2, ipack2, pages2, cheb, observe,
+                        style="rleucg", mf=True, interpret=interpret,
+                        classes=classes, want_scores=False,
+                        dstat=(params.feedback == "always"))
+    at2 = (outs2[0] if slot else
+           jnp.take(outs2[0], cl.atom_slot, axis=0, mode="clip"))
+    f = at2[:, 0:3]
+    pf_fb = jnp.where(explicit_all[:, 0], at2[:, 3], 0.0)
+    pforce = pforce_one.at[:, 0].add(pf_fb)
+
+    # ---- pass 3: CV back-force -------------------------------------------
+    cvf_all = jnp.sum(pforce * partial, axis=-1).astype(dtype)
+    ipack3, pages3 = _pack_dispatch(slot, cl, state.box, state.x, cvf_all,
+                                    zeros_n, dtype, aux=cvf_all,
+                                    typ=typ_col)
+    outs3 = _run_kernel_cv(
+        cl, scal_cv, ipack3, pages3, observe, "cv",
+        (rads, "mder" if params.conservative_sign else "pder"), interpret)
+    at3 = (outs3[0] if slot else
+           jnp.take(outs3[0], cl.atom_slot, axis=0, mode="clip"))
+    f = f + at3[:, 0:3]
+
+    if observe:
+        tot2 = jnp.sum(outs2[1][::8], axis=0)
+        tot3 = jnp.sum(outs3[1][::8], axis=0)
+        pe = 0.5 * tot2[0]
+        virial = 0.5 * (tot2[1:7] + tot3[1:7])
+        oob_low = tot2[7].astype(jnp.int32)
+    else:
+        pe = jnp.zeros((), dtype)
+        virial = jnp.zeros((6,), dtype)
+        oob_low = jnp.zeros((), jnp.int32)
+    return ForceOut(
+        f=f, ucgforce=jnp.zeros_like(rho),
+        scores=jnp.zeros((n, 2), dtype), pe=pe, virial=virial,
+        oob_low=oob_low, oob_high=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_style_rleucg(state: SimState, cl: colpack.ColumnList,
+                         params) -> ForceOut:
+    """Simulation-compatible pair_compute for the fused P4 kernel."""
+    return compute_rleucg(state, cl, params, params.cheb, interpret=None)
+
+
+def compute_style_rleucg_fast(state: SimState, cl: colpack.ColumnList,
+                              params) -> ForceOut:
+    return compute_rleucg(state, cl, params, params.cheb, observe=False,
+                          interpret=None)
+
+
+def compute_style_rleucg_slot_fast(state: SimState,
+                                   cl: colpack.ColumnList,
+                                   params) -> ForceOut:
+    """Slot-resident interior-step variant of the P4 kernel."""
+    return compute_rleucg(state, cl, params, params.cheb, observe=False,
+                          interpret=None, slot=True)
+
+
+compute_style_rleucg.fast_variant = compute_style_rleucg_fast
+compute_style_rleucg.slot_fast = compute_style_rleucg_slot_fast
 
 
 def make_compute(params: UCGLDParams, cheb: ChebBank, interpret: bool = False):

@@ -219,15 +219,20 @@ class Simulation:
         cfg = self.cfg
 
         def body(carry, _):
-            state, fout = carry
+            state, fout_prev = carry
             mass = self._masses_by_type[state.typ]
             state = fi.initial_integrate(
-                state, fout.f, fout.ucgforce, mass, cfg.dt,
+                state, fout_prev.f, fout_prev.ucgforce, mass, cfg.dt,
                 cfg.u.ftm2v, cfg.integrator,
             )
             state, fout = self._forces(state, nbr, run_window,
                                        pair_fn=pair_fn,
                                        scores_valid=scores_valid)
+            if fout.ucgp is None and fout_prev.ucgp is not None:
+                # score-free interior of an in-pass-posterior style (P3):
+                # keep the carried posterior so the scan pytree is stable
+                # (the block's full-kernel step refreshes it)
+                fout = dataclasses.replace(fout, ucgp=fout_prev.ucgp)
             state = fi.final_integrate(
                 state, fout.f, fout.ucgforce, mass, cfg.dt,
                 cfg.u.ftm2v, cfg.integrator,
@@ -287,6 +292,11 @@ class Simulation:
         slot_fout = dataclasses.replace(
             fcarry, f=Ms[:, 11:14], ucgforce=Ms[:, 14],
             scores=Ms[:, 15:17])
+        if fcarry.ucgp is not None:
+            # in-pass-posterior styles (P3) carry ucgp in the ForceOut
+            up = jnp.concatenate(
+                [fcarry.ucgp, jnp.zeros((1,), fcarry.ucgp.dtype)])[sar]
+            slot_fout = dataclasses.replace(slot_fout, ucgp=up)
         return slot_state, slot_fout
 
     def _from_slots(self, state: SimState, slot_state: SimState,
@@ -312,6 +322,9 @@ class Simulation:
             slot_fout,
             f=Et[:, 9:12], ucgforce=Et[:, 12], scores=Et[:, 13:15],
         )
+        if slot_fout.ucgp is not None:
+            fout = dataclasses.replace(
+                fout, ucgp=jnp.take(slot_fout.ucgp, nbr.atom_slot, axis=0))
         return state, fout
 
     def _slot_interior(self, state: SimState, fcarry: ForceOut, nbr,

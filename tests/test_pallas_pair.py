@@ -109,10 +109,180 @@ def test_bethe_kernel_matches_xla(rng):
                                  params_mf)
     np.testing.assert_allclose(np.asarray(out_kmf.f), np.asarray(out_xmf.f),
                                atol=5e-5 * scale)
+
+    # full-SCE scores (pseudo=False): conditional-expectation tallies
+    params_sce = dataclasses_replace(params, pseudo=False)
+    out_ks = pk.compute_bethe(state, cl, params_sce, cheb, interpret=True)
+    out_xs = pair_bethe.compute(state, colpack.as_neighbor_list(cl, n),
+                                params_sce)
+    np.testing.assert_allclose(np.asarray(out_ks.f), np.asarray(out_xs.f),
+                               atol=5e-5 * scale)
+    np.testing.assert_allclose(np.asarray(out_ks.scores),
+                               np.asarray(out_xs.scores), atol=1e-4)
     out_f = pk.compute_bethe(state, cl, params, cheb, interpret=True,
                              observe=False)
     np.testing.assert_allclose(np.asarray(out_f.f), np.asarray(out_k.f),
                                atol=1e-5 * scale)
+    assert float(out_f.pe) == 0.0
+
+
+def test_multi_type_bethe_kernel_matches_xla(rng):
+    """Fused Bethe kernel with the class-mask multi-type assembly: mixed
+    plain-CG (type 1) + 2-state UCG (type 2) system vs the XLA
+    table_ucg_bethe path — plain partners ride the same closed form with
+    zeroed priors (p11 = p10 = 0 degeneration)."""
+    from lammps_ucg_dev_tpu.models import pair_bethe
+
+    st, bank, tp, rc = helpers.build_mixed(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    typ = np.where(rng.uniform(size=n) < 0.4, 1, 2).astype(np.int32)
+    state = SimState.create(
+        x=x, typ=typ, ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n), ucgp=rng.uniform(0.1, 0.9, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+
+    params = pair_bethe.make_params(bank, tp, kT=0.8, dtype=jnp.float32)
+    assert pk.supports_bethe(params, n)
+    cheb = chebtab.fit_bank(bank)
+
+    out_k = pk.compute_bethe(state, cl, params, cheb, interpret=True)
+    out_x = pair_bethe.compute(state, colpack.as_neighbor_list(cl, n),
+                               params)
+    scale = float(np.abs(np.asarray(out_x.f)).max())
+    np.testing.assert_allclose(np.asarray(out_k.f), np.asarray(out_x.f),
+                               atol=5e-5 * scale)
+    np.testing.assert_allclose(float(out_k.pe), float(out_x.pe), rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_k.scores),
+                               np.asarray(out_x.scores), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_k.virial),
+                               np.asarray(out_x.virial), rtol=3e-5,
+                               atol=1e-2)
+
+    params_mf = dataclasses_replace(params, method="mf")
+    out_kmf = pk.compute_bethe(state, cl, params_mf, cheb, interpret=True)
+    out_xmf = pair_bethe.compute(state, colpack.as_neighbor_list(cl, n),
+                                 params_mf)
+    np.testing.assert_allclose(np.asarray(out_kmf.f),
+                               np.asarray(out_xmf.f), atol=5e-5 * scale)
+
+
+def test_density_kernel_matches_xla(rng):
+    """Fused P3 (table_ucg_bethe_density) 3-pass kernel vs the XLA path:
+    density priors, Bethe mixing with prior-force tallies, CV back-force,
+    fused posterior — mixed plain (type 1) + density-UCG (type 2) system,
+    both backforce_derivative modes, and the score-free interior variant."""
+    import test_pair_density_styles as tds
+    from dataclasses import replace as dc_replace
+
+    from lammps_ucg_dev_tpu.models import pair_bethe_density
+
+    st3, bank, tp = tds._p3_build(tds.P3_SETTINGS, dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    typ = np.where(rng.uniform(size=n) < 0.35, 1, 2).astype(np.int32)
+    state = SimState.create(
+        x=x, typ=typ, ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n), ucgp=rng.uniform(0.1, 0.9, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, tds.RC, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+
+    params = pair_bethe_density.make_params(bank, tp, 0.8,
+                                            dtype=jnp.float32)
+    assert pk.supports_density(params, n)
+    cheb = chebtab.fit_bank(bank)
+
+    out_k = pk.compute_density(state, cl, params, cheb, interpret=True)
+    out_x = pair_bethe_density.compute(
+        state, colpack.as_neighbor_list(cl, n), params)
+
+    scale = float(np.abs(np.asarray(out_x.f)).max())
+    np.testing.assert_allclose(np.asarray(out_k.f), np.asarray(out_x.f),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(float(out_k.pe), float(out_x.pe), rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_k.scores),
+                               np.asarray(out_x.scores), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_k.ucgp),
+                               np.asarray(out_x.ucgp), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_k.virial),
+                               np.asarray(out_x.virial), rtol=1e-4,
+                               atol=1e-2)
+    assert int(out_k.oob_low) == int(out_x.oob_low)
+
+    # reference-literal backforce form
+    p_ref = dc_replace(params, backforce_derivative=False)
+    out_kr = pk.compute_density(state, cl, p_ref, cheb, interpret=True)
+    out_xr = pair_bethe_density.compute(
+        state, colpack.as_neighbor_list(cl, n), p_ref)
+    np.testing.assert_allclose(np.asarray(out_kr.f), np.asarray(out_xr.f),
+                               atol=1e-4 * scale)
+
+    # score-free interior variant: same forces, no posterior overwrite
+    out_n = pk.compute_density(state, cl, params, cheb, interpret=True,
+                               observe=False, want_scores=False)
+    np.testing.assert_allclose(np.asarray(out_n.f), np.asarray(out_k.f),
+                               atol=2e-5 * scale)
+    assert out_n.ucgp is None
+    assert float(out_n.pe) == 0.0
+
+    # pair_cv="reference" (self-cancelling literal form) must refuse
+    assert not pk.supports_density(dc_replace(params, pair_cv="reference"),
+                                   n)
+
+
+def test_rleucg_kernel_matches_xla(rng):
+    """Fused P4 (table_rleucg_interface) 3-pass kernel vs the XLA path:
+    density → substate probabilities, mean-field mixing with the two-body
+    probability feedback, CV back-force — 3 substate types (2-substate
+    density actual type + plain), both feedback and sign modes."""
+    import test_pair_density_styles as tds
+    from dataclasses import replace as dc_replace
+
+    from lammps_ucg_dev_tpu.models import pair_rleucg
+
+    st4, b4 = tds._p4_build(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    typ = np.where(rng.uniform(size=n) < 0.7, 1, 3).astype(np.int32)
+    state = SimState.create(
+        x=x, typ=typ, ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, tds.RC, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+
+    params = pair_rleucg.make_params(b4, st4, 0.8, dtype=jnp.float32)
+    assert pk.supports_rleucg(params, n)
+    cheb = chebtab.fit_bank(params.bank)
+    assert float(jnp.max(cheb.max_rel_err)) < 1e-4
+
+    for fb, sign in (("always", True), ("always", False),
+                     ("never", True)):
+        p = dc_replace(params, feedback=fb, conservative_sign=sign)
+        out_k = pk.compute_rleucg(state, cl, p, cheb, interpret=True)
+        out_x = pair_rleucg.compute(state, colpack.as_neighbor_list(cl, n),
+                                    p)
+        scale = float(np.abs(np.asarray(out_x.f)).max())
+        np.testing.assert_allclose(np.asarray(out_k.f),
+                                   np.asarray(out_x.f),
+                                   atol=1e-4 * scale,
+                                   err_msg=f"f ({fb},{sign})")
+        np.testing.assert_allclose(float(out_k.pe), float(out_x.pe),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(out_k.virial),
+                                   np.asarray(out_x.virial), rtol=1e-4,
+                                   atol=1e-2)
+
+    # fast variant (interior): same forces, no observables
+    out_k = pk.compute_rleucg(state, cl, params, cheb, interpret=True)
+    out_f = pk.compute_rleucg(state, cl, params, cheb, interpret=True,
+                              observe=False)
+    scale = float(np.abs(np.asarray(out_k.f)).max())
+    np.testing.assert_allclose(np.asarray(out_f.f), np.asarray(out_k.f),
+                               atol=2e-5 * scale)
     assert float(out_f.pe) == 0.0
 
 
@@ -138,11 +308,11 @@ def test_kernel_select_gates(rng):
     assert isinstance(spec, colpack.ColumnSpec) and kp.cheb is not None
     assert getattr(fn, "fast_variant", None) is not None
 
-    # bethe params select the bethe kernel; full-SCE is refused
+    # bethe params select the bethe kernel (both score modes since r3)
     bp = pair_bethe.make_params(bank, tp, 0.8, dtype=jnp.float32)
     assert select_pair_kernel(bp, state, rc, 0.4, force=True) is not None
     bp_sce = dataclasses_replace(bp, pseudo=False)
-    assert select_pair_kernel(bp_sce, state, rc, 0.4, force=True) is None
+    assert select_pair_kernel(bp_sce, state, rc, 0.4, force=True) is not None
 
     # refusals: f64 state, force=False, triclinic box, tiny box
     state64 = SimState.create(
@@ -232,6 +402,80 @@ def test_slot_interior_matches_atom_interior(rng):
                 == np.asarray(sim_a.state.ucgstate)).all()
         np.testing.assert_allclose(float(sim_s._fcarry.pe),
                                    float(sim_a._fcarry.pe), rtol=1e-6)
+
+
+def test_slot_interior_styles_match(rng):
+    """Slot-resident interiors for the bethe and P3 kernels: trajectories
+    must match the atom-ordered interiors (same kernel inputs, same
+    elementwise fixes) across reneighbor blocks."""
+    import dataclasses
+
+    import test_pair_density_styles as tds
+    from lammps_ucg_dev_tpu.core.state import System
+    from lammps_ucg_dev_tpu.fixes import integrate as fi
+    from lammps_ucg_dev_tpu.fixes import langevin as fl
+    from lammps_ucg_dev_tpu.fixes import ucgstate as fs
+    from lammps_ucg_dev_tpu.models import pair_bethe, pair_bethe_density
+    from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
+
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    v = rng.normal(0, 0.9, (n, 3))
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgstate0 = rng.integers(0, 2, n)
+    ucgp0 = rng.uniform(0.1, 0.9, n)
+
+    def mk_state(typ):
+        return SimState.create(
+            x=x, v=v, typ=typ, ucgl=ucgl, ucgstate=ucgstate0, ucgp=ucgp0,
+            ucgml=np.full(n, 5.0),
+            box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+
+    def run_pair(compute, params, typ, cfg, ntypes, rc):
+        spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+        system = System(n_atoms=n, ntypes=ntypes,
+                        masses=np.array([0.0] + [1.0] * ntypes))
+        sim_s = Simulation(system, mk_state(typ), compute, params, spec,
+                           cfg)
+        assert sim_s._slot_ok
+        sim_s.run(8)
+        sim_a = Simulation(system, mk_state(typ), compute, params, spec,
+                           cfg)
+        sim_a._slot_ok = False
+        sim_a.run(8)
+        dx = np.asarray(sim_a.state.box.min_image(
+            sim_s.state.x - sim_a.state.x))
+        assert np.abs(dx).max() < 1e-6
+        for name in ("v", "ucgl", "ucgvl", "ucgp"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sim_s.state, name)),
+                np.asarray(getattr(sim_a.state, name)), atol=1e-6,
+                err_msg=name)
+        assert (np.asarray(sim_s.state.ucgstate)
+                == np.asarray(sim_a.state.ucgstate)).all()
+
+    # bethe: scores feed fix ucgstate every interior step (slot_fast)
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    bp = pair_bethe.make_params(bank, tp, 0.8, dtype=jnp.float32)
+    bp = dataclasses.replace(bp, cheb=chebtab.fit_bank(bank), chunk=0)
+    cfg_b = SimConfig(dt=0.004, units="lj",
+                      integrator=fi.IntegratorCfg("nve/ucgld"),
+                      langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                      ucgstate=fs.UCGStateCfg(mode="default"),
+                      reneigh_every=4)
+    run_pair(pk.compute_style_bethe, bp, np.ones(n, np.int32), cfg_b, 1,
+             rc)
+
+    # P3 density: no ucgstate fix -> score-free slot interior + deferred
+    # posterior
+    st3, bank3, tp3 = tds._p3_build(tds.P3_SETTINGS, dtype=jnp.float32)
+    typ3 = np.where(rng.uniform(size=n) < 0.35, 1, 2).astype(np.int32)
+    dp = pair_bethe_density.make_params(bank3, tp3, 0.8, dtype=jnp.float32)
+    dp = dataclasses.replace(dp, cheb=chebtab.fit_bank(bank3), chunk=0)
+    cfg_d = SimConfig(dt=0.004, units="lj",
+                      integrator=fi.IntegratorCfg("nve/ucgld"),
+                      langevin=None, ucgstate=None, reneigh_every=4)
+    run_pair(pk.compute_style_density, dp, typ3, cfg_d, 2, tds.RC)
 
 
 def test_multi_type_kernel_matches_xla(rng):
