@@ -126,6 +126,71 @@ def test_bethe_kernel_matches_xla(rng):
     assert float(out_f.pe) == 0.0
 
 
+def test_bethe_kernel_at_f32_clamp_boundary(rng):
+    """Pin the f32 kernel's overflow clamp (-J/kT capped at 40; the
+    reference clamps at -700 in f64, pair_table_ucg_bethe.cpp:545-548)
+    against the f64 XLA path AT the boundary: a deep-J system whose pair
+    distances put -J/kT on both sides of 40.  Past the clamp p11 is
+    saturated to the aligned limit min(pi1, pj1) within ~e-40, so the f32
+    kernel and the unclamped f64 closed form must agree to f32 tolerance
+    on forces, energy, and scores — no kink, no overflow garbage."""
+    from lammps_ucg_dev_tpu.models import pair_bethe
+
+    # J(r) = (e11+e00-e01-e10)(1+cos(pi r/rc)) = -19.9*(1+cos(pi r/rc));
+    # kT = 0.8 -> -J/kT in [0, 49.75], crossing 40 at r ~ 0.68 rc
+    eps = (0.5, 0.2, 0.2, -20.0)
+    kT = 0.8
+    st32, bank32, tp32, rc = helpers.build_two_state(eps=eps,
+                                                     dtype=jnp.float32)
+    _, bank64, tp64, _ = helpers.build_two_state(eps=eps,
+                                                 dtype=jnp.float64)
+    n, L = 384, 9.0
+    x = helpers.random_fluid(rng, n, L, min_sep=0.55)
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgp = rng.uniform(0.1, 0.9, n)
+    ucgstate = rng.integers(0, 2, n)
+
+    def mk_state(dtype):
+        return SimState.create(
+            x=x, typ=np.ones(n, np.int32), ucgl=ucgl, ucgstate=ucgstate,
+            ucgp=ucgp, box=Box.create([0, 0, 0], [L, L, L]), dtype=dtype)
+
+    st32_s = mk_state(jnp.float32)
+    st64_s = mk_state(jnp.float64)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    cl = colpack.build(st32_s.x, st32_s.box, spec)
+
+    # the configuration really straddles the clamp: some pairs below 40,
+    # some above (else the test pins nothing)
+    d = x[:, None, :] - x[None, :, :]
+    d -= L * np.round(d / L)
+    r = np.sqrt((d ** 2).sum(-1) + np.eye(n) * 1e9)
+    mJkT = 19.9 * (1.0 + np.cos(np.pi * np.minimum(r, rc) / rc)) / kT
+    in_range = r < rc
+    assert np.any(in_range & (mJkT > 41.0)), "no pair past the clamp"
+    assert np.any(in_range & (mJkT > 35.0) & (mJkT < 40.0)), \
+        "no pair just below the clamp"
+
+    p32 = pair_bethe.make_params(bank32, tp32, kT=kT, dtype=jnp.float32)
+    p64 = pair_bethe.make_params(bank64, tp64, kT=kT, dtype=jnp.float64)
+    assert pk.supports_bethe(p32, n)
+    cheb = chebtab.fit_bank(bank32)
+
+    out_k = pk.compute_bethe(st32_s, cl, p32, cheb, interpret=True)
+    out_64 = pair_bethe.compute(st64_s, colpack.as_neighbor_list(cl, n),
+                                p64)
+
+    scale = float(np.abs(np.asarray(out_64.f)).max())
+    np.testing.assert_allclose(np.asarray(out_k.f),
+                               np.asarray(out_64.f, np.float32),
+                               atol=5e-5 * scale)
+    np.testing.assert_allclose(float(out_k.pe), float(out_64.pe), rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_k.scores),
+                               np.asarray(out_64.scores, np.float32),
+                               atol=2e-3)
+    assert np.all(np.isfinite(np.asarray(out_k.f)))
+
+
 def test_multi_type_bethe_kernel_matches_xla(rng):
     """Fused Bethe kernel with the class-mask multi-type assembly: mixed
     plain-CG (type 1) + 2-state UCG (type 2) system vs the XLA
