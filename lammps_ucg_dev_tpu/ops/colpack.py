@@ -142,6 +142,8 @@ class ColumnSpec:
                                # (-1 = non-existent neighbor, periodic_x=False)
     periodic_x: bool = True    # False for slab virtual boxes (halos provide
                                # the x images; edge columns have no wraparound)
+    periodic_y: bool = True    # False for 2-D pencil virtual boxes (x AND y
+                               # images both come from halos)
 
     @property
     def rc(self) -> float:
@@ -184,28 +186,34 @@ _POISON_CODE = 27   # stencil-shift code for a non-existent neighbor column
                     # window 8*Lx away so every candidate fails the cutoff
 
 
-def _stencil(mx, my, periodic_x=True):
+def _stencil(mx, my, periodic_x=True, periodic_y=True):
     """(ncol, 9) stencil in x-row-major order: rows = dx in (-1,0,1), each
     row the 3 consecutive dy columns.  With ``periodic_x=False`` (slab
-    virtual boxes: halos provide the x images), out-of-range x neighbors are
-    -1 — callers mask them (build remaps to column 0 with a poisoned shift
-    code; measure/oracle paths skip them)."""
+    virtual boxes: halos provide the x images) and/or ``periodic_y=False``
+    (2-D pencil virtual boxes), out-of-range neighbors are -1 — callers
+    mask them (build remaps to column 0 with a poisoned shift code;
+    measure/oracle paths skip them)."""
     ncol = mx * my
     cx, cy = np.divmod(np.arange(ncol, dtype=np.int64), my)
     cols = []
     for dx in (-1, 0, 1):
         nx = cx + dx
         c = ((nx % mx) * my).astype(np.int64)
-        bad = None if periodic_x else ((nx < 0) | (nx >= mx))
+        bad_x = None if periodic_x else ((nx < 0) | (nx >= mx))
         for dy in (-1, 0, 1):
-            col = c + (cy + dy) % my
+            ny = cy + dy
+            col = c + ny % my
+            bad = bad_x
+            if not periodic_y:
+                bad_y = (ny < 0) | (ny >= my)
+                bad = bad_y if bad is None else (bad | bad_y)
             if bad is not None:
                 col = np.where(bad, -1, col)
             cols.append(col.astype(np.int32))
     return np.stack(cols, axis=1).astype(np.int32)
 
 
-def _stencil_shifts(mx, my, periodic_x=True):
+def _stencil_shifts(mx, my, periodic_x=True, periodic_y=True):
     """(ncol, 9) int32: encoded x/y periodic image shift of each stencil
     column relative to its center column — ``(sx+1)*3 + (sy+1)`` with
     sx, sy ∈ {-1, 0, +1} (units of Lx/Ly).  Because the column grid has
@@ -220,11 +228,16 @@ def _stencil_shifts(mx, my, periodic_x=True):
     for dx in (-1, 0, 1):
         nx = cx + dx
         sx = nx // mx               # -1, 0, or +1 (floor division)
-        bad = None if periodic_x else ((nx < 0) | (nx >= mx))
+        bad_x = None if periodic_x else ((nx < 0) | (nx >= mx))
         for dy in (-1, 0, 1):
-            sy = (cy + dy) // my
+            ny = cy + dy
+            sy = ny // my
             # j position must shift by +s to sit next to i: x_j + s*L
             code = (sx + 1) * 3 + (sy + 1)
+            bad = bad_x
+            if not periodic_y:
+                bad_y = (ny < 0) | (ny >= my)
+                bad = bad_y if bad is None else (bad | bad_y)
             if bad is not None:
                 code = np.where(bad, _POISON_CODE, code)
             enc.append(code.astype(np.int32))
@@ -240,7 +253,7 @@ def _round_czp(cz, gz, gzt, S):
 def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
               G: int | None = None, S: int | None = None,
               cz: int | None = None, gz: int | None = None,
-              periodic_x: bool = True) -> ColumnSpec:
+              periodic_x: bool = True, periodic_y: bool = True) -> ColumnSpec:
     """Analytic spec from mean density (no positions needed).  Prefer
     :func:`measure_spec` at setup time — it sizes from the actual
     configuration and is robust to structured/inhomogeneous systems."""
@@ -287,8 +300,9 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=int(cz),
                       gz=int(gz), gzt=int(gzt),
                       czp=_round_czp(cz, gz, gzt, S), G=int(G),
-                      S=int(S), stencil_cols=_stencil(mx, my, periodic_x),
-                      periodic_x=periodic_x)
+                      S=int(S),
+                      stencil_cols=_stencil(mx, my, periodic_x, periodic_y),
+                      periodic_x=periodic_x, periodic_y=periodic_y)
 
 
 # (G, S) preference order: large G first (fewer programs and DMAs), then
@@ -299,7 +313,8 @@ _GS_CANDIDATES = [(8, 32), (8, 16), (4, 64), (4, 32), (4, 16),
 
 def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
                  span_margin: int = 10, G_max: int = 8,
-                 periodic_x: bool = True) -> ColumnSpec:
+                 periodic_x: bool = True,
+                 periodic_y: bool = True) -> ColumnSpec:
     """Data-driven spec: measure the actual x-row window spans / column
     counts / ghost needs from the setup positions (host numpy) and size
     (G, S), cz, gz with margins.  Robust to structured (lattice) or
@@ -317,7 +332,7 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
     L, mx, my = _grid_dims(box_lengths, rc)
     ncol = mx * my
     Lz = L[2]
-    sten = _stencil(mx, my, periodic_x)
+    sten = _stencil(mx, my, periodic_x, periodic_y)
 
     per_cfg = []
     for xc in configs:
@@ -386,7 +401,8 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
     gzt = int(-(-(need_t + 4.0 * math.sqrt(max(need_t, 1.0)) + 4) // CL) * CL)
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=cz,
                       gz=gz, gzt=gzt, czp=_round_czp(cz, gz, gzt, S), G=G,
-                      S=S, stencil_cols=sten, periodic_x=periodic_x)
+                      S=S, stencil_cols=sten, periodic_x=periodic_x,
+                      periodic_y=periodic_y)
 
 
 def build(x: jax.Array, box: Box, spec: ColumnSpec,
@@ -542,7 +558,8 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
 
     n_prog = ncol * gpc
     sten_rep = np.repeat(sten_cols, gpc, axis=0)                # (n_prog, 9)
-    shift_rep = np.repeat(_stencil_shifts(mx, my, spec.periodic_x), gpc,
+    shift_rep = np.repeat(
+        _stencil_shifts(mx, my, spec.periodic_x, spec.periodic_y), gpc,
                           axis=0)
     meta = jnp.concatenate([
         jnp.asarray(sten_rep, jnp.int32),

@@ -10,10 +10,12 @@ which is the general implementation and correctness oracle):
 
 * TPU backend, single device — this gate covers the single-chip driver
   only.  The MULTI-chip kernel path exists and is selected explicitly:
-  ``parallel.spatial.make_column_slab_spec`` + ``SpatialSimulation`` run
-  the same fused kernel per device under shard_map (slab virtual boxes,
-  ``colpack.periodic_x=False``); see tests/test_spatial.py::
-  test_spatial_kernel_path_matches_32k and __graft_entry__'s dryrun leg 3.
+  ``parallel.spatial.make_column_slab_spec`` / ``make_column_pencil_spec``
+  + ``SpatialSimulation`` run the same fused kernel per device under
+  shard_map (slab/pencil virtual boxes, ``colpack.periodic_x=False`` and,
+  for pencils, ``periodic_y=False``); see tests/test_spatial.py::
+  test_spatial_kernel_path_matches_32k / test_pencil_kernel_path_matches
+  and __graft_entry__'s dryrun leg 3.
 * float32 state (the kernel computes in f32)
 * style support (``pallas_pair.supports``: table_ucgld, one actual type,
   2 states, uniform LINEAR tables)

@@ -15,12 +15,18 @@ Reference model being matched (not translated):
   exactly as on a single chip.
 
 TPU-native formulation: the box is cut into ``D`` x-slabs, one per device of
-a 1-D ``jax.sharding.Mesh``; the whole multi-block run is ONE ``shard_map``
-program.  Each device holds fixed-capacity arrays
+a 1-D ``jax.sharding.Mesh`` — or, with :func:`make_pencil_spec`, into
+``Dx × Dy`` x-y pencils on a 2-D mesh (the LAMMPS 3-D processor brick minus
+z: halo, refresh, and migration stage x first, then y, with y buffers
+sourced from owned + x-ghost rows so corners ride the y stage — the
+standard dimension-by-dimension protocol of comm_brick.cpp).  The whole
+multi-block run is ONE ``shard_map`` program.  Each device holds
+fixed-capacity arrays
 
     rows [0, cap_local)            owned atoms ([0, nloc) valid)
     rows [cap_local, +cap_halo)    ghost images from the LEFT neighbor
-    rows [.., cap_tot)             ghost images from the RIGHT neighbor
+    rows [.., +cap_halo)           ghost images from the RIGHT neighbor
+    rows [.., +2*cap_halo_y)       DOWN/UP y-ghosts (pencils only)
 
 Halo exchange is a pair of ``lax.ppermute`` ring shifts over the mesh axis
 (rides ICI): at reneighbor, fixed-capacity buffers of (x, λ, state, p, type,
@@ -32,8 +38,9 @@ ring-shifts them, and compacts survivors+arrivals — per-step comm volume is
 surface-area × halo fields, not O(N) (contrast parallel/domain.py's
 atom-decomposition all-gathers, kept as the general fallback).
 
-Requirements: D >= 3 slabs, slab width >= cutoff + skin (so ±1 neighbors
-suffice), per-atom-owned pair styles (all four UCG styles qualify).
+Requirements: >= 3 cuts per decomposed axis, subdomain width >= cutoff +
+skin (so ±1 neighbors suffice), per-atom-owned pair styles (all four UCG
+styles qualify).
 Capacity overflows, >1-slab hops, and dangerous builds are surfaced as
 flags, like the single-chip driver's neighbor overflow.
 """
@@ -71,22 +78,45 @@ def _r8(v: float) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class SlabSpec:
-    """Static decomposition geometry + local neighbor configuration."""
+    """Static decomposition geometry + local neighbor configuration.
 
-    n_devices: int
+    1-D (default): ``n_devices`` x-slabs.  2-D pencils (``n_dev_y > 1``):
+    the box is also cut along y — the LAMMPS 3-D processor brick minus z
+    (comm_brick.cpp's staged dimension-by-dimension exchange): halo and
+    migration run x first, then y, with the y buffers sourced from
+    owned + x-ghost rows so corner regions ride the y stage."""
+
+    n_devices: int               # cuts along x
     cap_local: int
-    cap_halo: int
-    cap_mig: int
-    nbr: nbrmod.NeighborSpec     # local builder over slab + 2 halo layers
+    cap_halo: int                # per x-face
+    cap_mig: int                 # per x-direction send buffer
+    nbr: nbrmod.NeighborSpec     # local builder over pencil + halo layers
     axis: str = "slabs"
+    n_dev_y: int = 1             # cuts along y (1 = slab decomposition)
+    cap_halo_y: int = 0          # per y-face (sources include x-ghosts)
+    cap_mig_y: int = 0
+    axis_y: str = "peny"
 
     @property
     def cap_tot(self) -> int:
-        return self.cap_local + 2 * self.cap_halo
+        return self.cap_local + 2 * self.cap_halo + 2 * self.cap_halo_y
 
     @property
     def rc(self) -> float:
         return self.nbr.rc
+
+    @property
+    def is_2d(self) -> bool:
+        return self.n_dev_y > 1
+
+    @property
+    def axes(self):
+        """Mesh axis name(s) of the decomposition (psum/pmin target)."""
+        return (self.axis, self.axis_y) if self.is_2d else self.axis
+
+    @property
+    def n_dev_total(self) -> int:
+        return self.n_devices * self.n_dev_y
 
 
 def make_slab_spec(n_atoms: int, box_lengths, cutoff: float, skin: float,
@@ -169,12 +199,131 @@ def make_column_slab_spec(n_atoms: int, box_lengths, cutoff: float,
     return dataclasses.replace(base, nbr=col)
 
 
-def make_mesh(n_devices: int, axis: str = "slabs") -> Mesh:
-    devs = jax.devices()
-    if len(devs) < n_devices:
+def make_pencil_spec(n_atoms: int, box_lengths, cutoff: float, skin: float,
+                     n_dev_x: int, n_dev_y: int, x=None,
+                     cap_local: int | None = None,
+                     cap_halo: int | None = None,
+                     cap_halo_y: int | None = None,
+                     cap_mig: int | None = None,
+                     cap_mig_y: int | None = None,
+                     nbr_method: str | None = None) -> SlabSpec:
+    """2-D pencil decomposition: the box is cut Dx × Dy in x and y (the
+    reference inherits LAMMPS's 3-D processor bricks; pencils lift the
+    slab path's device cap from ⌊Lx/rc⌋ to ⌊Lx/rc⌋·⌊Ly/rc⌋ and shrink
+    per-face halo volume from a box cross-section to a strip).  Capacities
+    measured from ``x`` when given (with drift margins), else from mean
+    density; runtime overflow flags are the backstop."""
+    L = np.asarray(box_lengths, np.float64)
+    Dx, Dy = int(n_dev_x), int(n_dev_y)
+    rc = cutoff + skin
+    if Dx < 3 or Dy < 3:
+        raise ValueError(f"pencil decomposition needs >= 3 cuts per axis "
+                         f"(got {Dx}x{Dy}); use slabs or parallel.domain")
+    wx, wy = L[0] / Dx, L[1] / Dy
+    if wx < rc or wy < rc:
         raise ValueError(
-            f"requested {n_devices} devices but only {len(devs)} present")
-    return Mesh(np.asarray(devs[:n_devices]), (axis,))
+            f"pencil widths ({wx:.3f}, {wy:.3f}) < cutoff+skin {rc:.3f}: "
+            f"±1-neighbor halos are insufficient; use fewer devices")
+    ntot = Dx * Dy
+    mean = n_atoms / ntot
+    sig = math.sqrt(max(mean, 1.0))
+    if x is not None:
+        xn = np.asarray(x, np.float64)
+        px = np.mod(xn[:, 0], L[0])
+        py = np.mod(xn[:, 1], L[1])
+        sx = np.clip((px / L[0] * Dx).astype(np.int64), 0, Dx - 1)
+        sy = np.clip((py / L[1] * Dy).astype(np.int64), 0, Dy - 1)
+        d = sx * Dy + sy
+        counts = np.bincount(d, minlength=ntot)
+        if cap_local is None:
+            cap_local = _r8(counts.max() + 2.0 * sig + 16)
+        if cap_halo is None:
+            offx = px - sx * wx
+            near = max(np.bincount(d[offx < rc], minlength=ntot).max(),
+                       np.bincount(d[offx >= wx - rc], minlength=ntot).max())
+            cap_halo = _r8(near + 2.0 * math.sqrt(max(near, 1.0)) + 16)
+        if cap_halo_y is None:
+            # per receiving pencil (i, j): senders are (i, j∓1); sources are
+            # their owned + x-ghost rows, i.e. atoms with x in column i's
+            # rc-extended range and y within rc of the shared face
+            need = 0
+            for i in range(Dx):
+                xg = np.mod(px - (i * wx - rc), L[0])
+                in_strip = xg < wx + 2 * rc
+                ys = py[in_strip]
+                offy = ys - np.floor(ys / wy) * wy
+                cnt = np.bincount(
+                    np.clip((ys / wy).astype(np.int64), 0, Dy - 1)[offy < rc],
+                    minlength=Dy)
+                cnt2 = np.bincount(
+                    np.clip((ys / wy).astype(np.int64), 0,
+                            Dy - 1)[offy >= wy - rc], minlength=Dy)
+                need = max(need, int(cnt.max()), int(cnt2.max()))
+            cap_halo_y = _r8(need + 2.0 * math.sqrt(max(need, 1.0)) + 16)
+    if cap_local is None:
+        cap_local = _r8(mean + 6.0 * sig + 16)
+    if cap_halo is None:
+        mean_h = mean * rc / wx
+        cap_halo = _r8(mean_h + 6.0 * math.sqrt(max(mean_h, 1.0)) + 16)
+    if cap_halo_y is None:
+        mean_hy = mean * (wx + 2 * rc) / wx * rc / wy
+        cap_halo_y = _r8(mean_hy + 6.0 * math.sqrt(max(mean_hy, 1.0)) + 16)
+    if cap_mig is None:
+        mean_m = mean * max(skin, 0.1 * rc) / wx
+        cap_mig = _r8(mean_m + 6.0 * math.sqrt(max(mean_m, 1.0)) + 16)
+    if cap_mig_y is None:
+        mean_m = mean * max(skin, 0.1 * rc) / wy
+        cap_mig_y = _r8(mean_m + 6.0 * math.sqrt(max(mean_m, 1.0)) + 16)
+    cap_tot = (int(cap_local) + 2 * int(cap_halo) + 2 * int(cap_halo_y))
+    virt_L = [wx + 2 * rc, wy + 2 * rc, L[2]]
+    nbr = nbrmod.make_spec(cap_tot, virt_L, cutoff, skin, method=nbr_method)
+    return SlabSpec(n_devices=Dx, cap_local=int(cap_local),
+                    cap_halo=int(cap_halo), cap_mig=int(cap_mig), nbr=nbr,
+                    n_dev_y=Dy, cap_halo_y=int(cap_halo_y),
+                    cap_mig_y=int(cap_mig_y))
+
+
+def make_column_pencil_spec(n_atoms: int, box_lengths, cutoff: float,
+                            skin: float, n_dev_x: int, n_dev_y: int, x,
+                            **caps) -> SlabSpec:
+    """Pencil SlabSpec whose local pair structure is the fused-kernel
+    ColumnSpec over the pencil's non-periodic-x/y virtual box (the 2-D
+    analogue of :func:`make_column_slab_spec`): one static spec sized from
+    the union of every pencil's local+halo population."""
+    base = make_pencil_spec(n_atoms, box_lengths, cutoff, skin, n_dev_x,
+                            n_dev_y, x=x, **caps)
+    L = np.asarray(box_lengths, np.float64)
+    Dx, Dy = int(n_dev_x), int(n_dev_y)
+    rc = cutoff + skin
+    eps = 1e-3 * rc                  # matches SpatialSimulation._virtual_boxes
+    wx, wy = L[0] / Dx, L[1] / Dy
+    Lxv = wx + 2 * rc + 2 * eps
+    Lyv = wy + 2 * rc + 2 * eps
+    xn = np.asarray(x, np.float64)
+    configs = []
+    for i in range(Dx):
+        xg = np.mod(xn[:, 0] - (i * wx - rc - eps), L[0])
+        for j in range(Dy):
+            yg = np.mod(xn[:, 1] - (j * wy - rc - eps), L[1])
+            sel = (xg < Lxv) & (yg < Lyv)
+            configs.append(np.stack(
+                [xg[sel], yg[sel], np.mod(xn[sel, 2], L[2])], axis=1))
+    col = colpack.measure_spec(configs, [Lxv, Lyv, L[2]], cutoff, skin,
+                               periodic_x=False, periodic_y=False)
+    return dataclasses.replace(base, nbr=col)
+
+
+def make_mesh(n_devices: int, axis: str = "slabs", n_dev_y: int = 1,
+              axis_y: str = "peny") -> Mesh:
+    devs = jax.devices()
+    ntot = n_devices * n_dev_y
+    if len(devs) < ntot:
+        raise ValueError(
+            f"requested {ntot} devices but only {len(devs)} present")
+    if n_dev_y == 1:
+        return Mesh(np.asarray(devs[:ntot]), (axis,))
+    return Mesh(np.asarray(devs[:ntot]).reshape(n_devices, n_dev_y),
+                (axis, axis_y))
 
 
 # ---- packing helpers (run per device, inside shard_map) --------------------
@@ -237,8 +386,8 @@ class SpatialSimulation(Simulation):
                 "fix cluster_switch on slabs requires the atom-neighbor-"
                 "list path (XLA pair styles), not the column kernel")
         self.slab = slab
-        self.mesh = mesh if mesh is not None else make_mesh(slab.n_devices,
-                                                            slab.axis)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            slab.n_devices, slab.axis, slab.n_dev_y, slab.axis_y)
         self.n_global = state.n_atoms
         self._migrations = 0
         self._dist(state)
@@ -246,14 +395,18 @@ class SpatialSimulation(Simulation):
     # ---- host-side distribution / gathering -------------------------------
 
     def _defaults(self, d: int, n_rows: int, dtype):
-        """Padding-row defaults: parked at slab d's center, inert but finite."""
+        """Padding-row defaults: parked at subdomain d's center, inert but
+        finite."""
         box = self._host_box
         lo = np.asarray(box["lo"], np.float64)
         L = np.asarray(box["L"], np.float64)
-        w = L[0] / self.slab.n_devices
+        sl = self.slab
+        i, j = divmod(d, sl.n_dev_y)
+        wx = L[0] / sl.n_devices
+        wy = L[1] / sl.n_dev_y
         F = np.zeros((n_rows, _NMIG))
-        F[:, 0] = lo[0] + (d + 0.5) * w
-        F[:, 1] = lo[1] + 0.5 * L[1]
+        F[:, 0] = lo[0] + (i + 0.5) * wx
+        F[:, 1] = lo[1] + (j + 0.5) * wy
         F[:, 2] = lo[2] + 0.5 * L[2]
         F[:, 9] = 1      # tag (clipped RNG take; results discarded)
         F[:, 10] = 1     # typ (mass lookup stays finite)
@@ -261,14 +414,19 @@ class SpatialSimulation(Simulation):
         return F
 
     def _dist(self, state: SimState):
-        """Sort atoms into slabs, pad to capacity, shard (D*cap_tot) rows."""
+        """Sort atoms into subdomains, pad to capacity, shard (D*cap_tot)
+        rows over the mesh axes."""
         sl = self.slab
-        D, cap_tot = sl.n_devices, sl.cap_tot
+        D, cap_tot = sl.n_dev_total, sl.cap_tot
         xw = np.asarray(state.box.wrap(state.x))
         lo = np.asarray(state.box.lo, np.float64)
         L = np.asarray(state.box.lengths, np.float64)
         self._host_box = {"lo": lo, "L": L}
-        s = np.clip((xw[:, 0] - lo[0]) / L[0] * D, 0, D - 1).astype(np.int64)
+        sx = np.clip((xw[:, 0] - lo[0]) / L[0] * sl.n_devices, 0,
+                     sl.n_devices - 1).astype(np.int64)
+        s = sx * sl.n_dev_y + np.clip(
+            (xw[:, 1] - lo[1]) / L[1] * sl.n_dev_y, 0,
+            sl.n_dev_y - 1).astype(np.int64)
 
         fz = ForceOut.zeros(self.n_global, dtype=state.x.dtype)
         Fall = np.asarray(_pack_mig(dataclasses.replace(state, x=jnp.asarray(xw)),
@@ -285,8 +443,8 @@ class SpatialSimulation(Simulation):
             blocks[d, :rows.shape[0]] = rows
             nloc[d] = rows.shape[0]
 
-        mesh, axis = self.mesh, sl.axis
-        row_sh = NamedSharding(mesh, P(axis))
+        mesh = self.mesh
+        row_sh = NamedSharding(mesh, P(sl.axes))
         repl = NamedSharding(mesh, P())
         dt = state.x.dtype
         self._F = jax.device_put(
@@ -305,7 +463,7 @@ class SpatialSimulation(Simulation):
     def gather(self):
         """(SimState, ForceOut) with the N global atoms in tag order."""
         sl = self.slab
-        D, cap_tot = sl.n_devices, sl.cap_tot
+        D, cap_tot = sl.n_dev_total, sl.cap_tot
         F = np.asarray(self._F).reshape(D, cap_tot, _NMIG)
         nloc = np.asarray(self._nloc)
         rows = np.concatenate([F[d, :nloc[d]] for d in range(D)], axis=0)
@@ -323,48 +481,70 @@ class SpatialSimulation(Simulation):
 
     # ---- device-side block (runs per device inside shard_map) -------------
 
-    def _virtual_boxes(self, box_lo, box_L, me, dtype):
+    def _virtual_boxes(self, box_lo, box_L, me_x, me_y, dtype):
         sl = self.slab
-        D = sl.n_devices
         rc = jnp.asarray(sl.rc, dtype)
-        w = box_L[0] / D
-        slab_lo = box_lo[0] + me.astype(dtype) * w
-        slab_hi = slab_lo + w
+        wx = box_L[0] / sl.n_devices
+        x_lo = box_lo[0] + me_x.astype(dtype) * wx
+        x_hi = x_lo + wx
         eps = jnp.asarray(1e-3 * sl.rc, dtype)
-        bin_box = Box(
-            lo=jnp.stack([slab_lo - rc - eps, box_lo[1], box_lo[2]]),
-            hi=jnp.stack([slab_hi + rc + eps, box_lo[1] + box_L[1],
-                          box_lo[2] + box_L[2]]),
-            periodic=(False, True, True))
-        pair_box = Box(lo=box_lo, hi=box_lo + box_L,
-                       periodic=(False, True, True))
-        return slab_lo, slab_hi, bin_box, pair_box
+        if sl.is_2d:
+            wy = box_L[1] / sl.n_dev_y
+            y_lo = box_lo[1] + me_y.astype(dtype) * wy
+            y_hi = y_lo + wy
+            bin_box = Box(
+                lo=jnp.stack([x_lo - rc - eps, y_lo - rc - eps, box_lo[2]]),
+                hi=jnp.stack([x_hi + rc + eps, y_hi + rc + eps,
+                              box_lo[2] + box_L[2]]),
+                periodic=(False, False, True))
+            pair_box = Box(lo=box_lo, hi=box_lo + box_L,
+                           periodic=(False, False, True))
+        else:
+            y_lo, y_hi = box_lo[1], box_lo[1] + box_L[1]
+            bin_box = Box(
+                lo=jnp.stack([x_lo - rc - eps, box_lo[1], box_lo[2]]),
+                hi=jnp.stack([x_hi + rc + eps, box_lo[1] + box_L[1],
+                              box_lo[2] + box_L[2]]),
+                periodic=(False, True, True))
+            pair_box = Box(lo=box_lo, hi=box_lo + box_L,
+                           periodic=(False, True, True))
+        return x_lo, x_hi, y_lo, y_hi, bin_box, pair_box
 
     def _block_dev(self, F, nloc, pe, vir, key, step, run_window, params,
                    gbox: Box, nsteps: int, cswitch=None):
         """One reneighbor block on one device: migrate → halo → build →
-        nsteps of Verlet.  All comm is ppermute over the mesh axis.
+        nsteps of Verlet.  All comm is ppermute over the mesh axes; on the
+        2-D pencil decomposition every phase stages x first, then y (y
+        sources include the fresh x-ghosts, so corner regions ride the y
+        stage — the standard dimension-by-dimension protocol).
         ``cswitch`` = (params_cs, stats_v): run a cluster_switch event after
         the rebuild and before the Verlet steps (adds an 8th return, the
         event outputs)."""
         sl = self.slab
-        axis = sl.axis
-        D = sl.n_devices
+        axis, axis_y = sl.axis, sl.axis_y
+        Dx, Dy = sl.n_devices, sl.n_dev_y
+        two_d = sl.is_2d
         cap_local, cap_halo, cap_tot = sl.cap_local, sl.cap_halo, sl.cap_tot
-        cap_mig = sl.cap_mig
+        cap_hy = sl.cap_halo_y
+        y_base = cap_local + 2 * cap_halo       # first y-ghost row
         dt_ = F.dtype
         me = jax.lax.axis_index(axis)
-        perm_r = [(i, (i + 1) % D) for i in range(D)]
-        perm_l = [(i, (i - 1) % D) for i in range(D)]
+        me_y = jax.lax.axis_index(axis_y) if two_d else jnp.zeros(
+            (), jnp.int32)
+        perm_r = [(i, (i + 1) % Dx) for i in range(Dx)]
+        perm_l = [(i, (i - 1) % Dx) for i in range(Dx)]
+        if two_d:
+            perm_u = [(i, (i + 1) % Dy) for i in range(Dy)]
+            perm_d = [(i, (i - 1) % Dy) for i in range(Dy)]
         rows_i = jnp.arange(cap_tot, dtype=jnp.int32)
         overflow = jnp.zeros((), bool)
 
         box_lo, box_L = gbox.lo, gbox.lengths
-        slab_lo, slab_hi, bin_box, pair_box = self._virtual_boxes(
-            box_lo, box_L, me, dt_)
+        x_lo, x_hi, y_lo, y_hi, bin_box, pair_box = self._virtual_boxes(
+            box_lo, box_L, me, me_y, dt_)
         rc = jnp.asarray(sl.rc, dt_)
 
-        # ---- 1. wrap + migrate (exchange comm) ----------------------------
+        # ---- 1. wrap + migrate (exchange comm), staged per dimension ------
         x = F[:, 0:3]
         img = F[:, 6:9]
         Lv = box_L[None, :]
@@ -372,68 +552,101 @@ class SpatialSimulation(Simulation):
         F = F.at[:, 0:3].set(x - shift * Lv)
         F = F.at[:, 6:9].set(img + shift)
 
-        owned = rows_i < nloc
-        s = jnp.clip(((F[:, 0] - box_lo[0]) / box_L[0] * D), 0, D - 1)
-        s = s.astype(jnp.int32)
-        off = jnp.mod(s - me, D)
-        stay = owned & (off == 0)
-        go_r = owned & (off == 1)
-        go_l = owned & (off == D - 1)
-        overflow |= jnp.any(owned & ~(stay | go_r | go_l))   # >1-slab hop
+        def migrate_dir(F, nloc, col, D, me_d, ax, pr, pl, cap_mig):
+            """One exchange stage along mesh axis ``ax`` keyed on coordinate
+            ``col``: pack ±1-neighbor leavers, ring-shift, compact."""
+            owned = rows_i < nloc
+            s = jnp.clip(((F[:, col] - box_lo[col]) / box_L[col] * D),
+                         0, D - 1).astype(jnp.int32)
+            off = jnp.mod(s - me_d, D)
+            stay = owned & (off == 0)
+            go_r = owned & (off == 1)
+            go_l = owned & (off == D - 1)
+            ovf = jnp.any(owned & ~(stay | go_r | go_l))   # >1-cell hop
+            ns_r = jnp.sum(go_r).astype(jnp.int32)
+            ns_l = jnp.sum(go_l).astype(jnp.int32)
+            ovf |= (ns_r > cap_mig) | (ns_l > cap_mig)
+            buf_r = jnp.take(F, _take_first(go_r, cap_mig), axis=0)
+            buf_l = jnp.take(F, _take_first(go_l, cap_mig), axis=0)
+            in_l = jax.lax.ppermute(buf_r, ax, pr)     # from low neighbor
+            n_in_l = jax.lax.ppermute(ns_r, ax, pr)
+            in_r = jax.lax.ppermute(buf_l, ax, pl)     # from high neighbor
+            n_in_r = jax.lax.ppermute(ns_l, ax, pl)
+            nkeep = jnp.sum(stay).astype(jnp.int32)
+            Fs = jnp.take(F, _take_first(stay, cap_tot), axis=0)
+            mi = jnp.arange(cap_mig, dtype=jnp.int32)
+            dst_l = jnp.where(mi < n_in_l, nkeep + mi, cap_tot)
+            Fs = Fs.at[dst_l].set(in_l, mode="drop")
+            dst_r = jnp.where(mi < n_in_r, nkeep + n_in_l + mi, cap_tot)
+            Fs = Fs.at[dst_r].set(in_r, mode="drop")
+            nloc2 = nkeep + n_in_l + n_in_r
+            ovf |= nloc2 > cap_local
+            return Fs, nloc2, ovf, ns_r + ns_l
 
-        ns_r = jnp.sum(go_r).astype(jnp.int32)
-        ns_l = jnp.sum(go_l).astype(jnp.int32)
-        overflow |= (ns_r > cap_mig) | (ns_l > cap_mig)
-        buf_r = jnp.take(F, _take_first(go_r, cap_mig), axis=0)
-        buf_l = jnp.take(F, _take_first(go_l, cap_mig), axis=0)
-        in_l = jax.lax.ppermute(buf_r, axis, perm_r)     # from left neighbor
-        n_in_l = jax.lax.ppermute(ns_r, axis, perm_r)
-        in_r = jax.lax.ppermute(buf_l, axis, perm_l)     # from right neighbor
-        n_in_r = jax.lax.ppermute(ns_l, axis, perm_l)
+        Fs, nloc, ovf_x, n_migrated = migrate_dir(
+            F, nloc, 0, Dx, me, axis, perm_r, perm_l, sl.cap_mig)
+        overflow |= ovf_x
+        if two_d:
+            # diagonal movers arrive here via their x-stage hop, then ride
+            # the y stage (LAMMPS comm_brick exchange order)
+            Fs, nloc, ovf_y, nmig_y = migrate_dir(
+                Fs, nloc, 1, Dy, me_y, axis_y, perm_u, perm_d, sl.cap_mig_y)
+            overflow |= ovf_y
+            n_migrated = n_migrated + nmig_y
 
-        nkeep = jnp.sum(stay).astype(jnp.int32)
-        Fs = jnp.take(F, _take_first(stay, cap_tot), axis=0)
-        mi = jnp.arange(cap_mig, dtype=jnp.int32)
-        dst_l = jnp.where(mi < n_in_l, nkeep + mi, cap_tot)
-        Fs = Fs.at[dst_l].set(in_l, mode="drop")
-        dst_r = jnp.where(mi < n_in_r, nkeep + n_in_l + mi, cap_tot)
-        Fs = Fs.at[dst_r].set(in_r, mode="drop")
-        nloc = nkeep + n_in_l + n_in_r
-        overflow |= nloc > cap_local
-        n_migrated = ns_r + ns_l
-
-        # reset non-owned rows to inert defaults (parked at slab center)
+        # reset non-owned rows to inert defaults (parked at subdomain center)
         owned = rows_i < nloc
         dflt = jnp.zeros((_NMIG,), dt_)
-        dflt = dflt.at[0].set(slab_lo + 0.5 * box_L[0] / D)
-        dflt = dflt.at[1].set(box_lo[1] + 0.5 * box_L[1])
+        dflt = dflt.at[0].set(0.5 * (x_lo + x_hi))
+        dflt = dflt.at[1].set(0.5 * (y_lo + y_hi))
         dflt = dflt.at[2].set(box_lo[2] + 0.5 * box_L[2])
         dflt = dflt.at[9].set(1.0).at[10].set(1.0).at[16].set(1.0)
         Fm = jnp.where(owned[:, None], Fs, dflt[None, :])
 
-        # ---- 2. halo establishment (border comm) --------------------------
+        # ---- 2. halo establishment (border comm), staged per dimension ----
+        # establishment features: x3, ucgl, ucgstate, ucgp, typ, tag, mol
+        # (mol rides along so ghost contact edges map to molecules — the
+        # border-comm molecule field, atom_vec_ucg.cpp:66-69)
+        def halo_feats(Fm):
+            return jnp.stack([Fm[:, 0], Fm[:, 1], Fm[:, 2], Fm[:, 14],
+                              Fm[:, 13], Fm[:, 17], Fm[:, 10], Fm[:, 9],
+                              Fm[:, 11]], axis=1)
+
+        def halo_into(Fm, recv, hval, base, cap):
+            rows = jnp.where(hval[:, None], jnp.concatenate([
+                recv[:, 0:3],                                      # x
+                jnp.zeros((cap, 6), dt_),                          # v, image
+                recv[:, 7:8], recv[:, 6:7],                        # tag, typ
+                recv[:, 8:9],                                      # mol
+                jnp.zeros((cap, 1), dt_),                          # q
+                recv[:, 4:5], recv[:, 3:4],                        # state, λ
+                jnp.zeros((cap, 1), dt_),                          # ucgvl
+                jnp.ones((cap, 1), dt_),                           # ucgml
+                recv[:, 5:6],                                      # ucgp
+                jnp.zeros((cap, _NMIG - 18), dt_),
+            ], axis=1), dflt[None, :])
+            return jax.lax.dynamic_update_slice(
+                Fm, rows,
+                (jnp.asarray(base, jnp.int32), jnp.zeros((), jnp.int32)))
+
+        # x stage: owned rows within rc of the x faces
         xl = Fm[:, 0]
-        near_l = owned & (xl < slab_lo + rc)
-        near_r = owned & (xl >= slab_hi - rc)
+        near_l = owned & (xl < x_lo + rc)
+        near_r = owned & (xl >= x_hi - rc)
         nh_l = jnp.sum(near_l).astype(jnp.int32)
         nh_r = jnp.sum(near_r).astype(jnp.int32)
         overflow |= (nh_l > cap_halo) | (nh_r > cap_halo)
         src_l = _take_first(near_l, cap_halo)    # refreshed every step
         src_r = _take_first(near_r, cap_halo)
 
-        # establishment features: x3, ucgl, ucgstate, ucgp, typ, tag, mol
-        # (mol rides along so ghost contact edges map to molecules — the
-        # border-comm molecule field, atom_vec_ucg.cpp:66-69)
-        hcols = jnp.stack([Fm[:, 0], Fm[:, 1], Fm[:, 2], Fm[:, 14],
-                           Fm[:, 13], Fm[:, 17], Fm[:, 10], Fm[:, 9],
-                           Fm[:, 11]], axis=1)
+        hcols = halo_feats(Fm)
         from_l = jax.lax.ppermute(jnp.take(hcols, src_r, axis=0), axis, perm_r)
         n_from_l = jax.lax.ppermute(nh_r, axis, perm_r)
         from_r = jax.lax.ppermute(jnp.take(hcols, src_l, axis=0), axis, perm_l)
         n_from_r = jax.lax.ppermute(nh_l, axis, perm_l)
         # ghost x shifted across the periodic seam so pair dx never wraps
         shift_l = jnp.where(me == 0, -box_L[0], jnp.zeros((), dt_))
-        shift_r = jnp.where(me == D - 1, box_L[0], jnp.zeros((), dt_))
+        shift_r = jnp.where(me == Dx - 1, box_L[0], jnp.zeros((), dt_))
         from_l = from_l.at[:, 0].add(shift_l)
         from_r = from_r.at[:, 0].add(shift_r)
 
@@ -441,25 +654,44 @@ class SpatialSimulation(Simulation):
         hval_l = hi_ < n_from_l
         hval_r = hi_ < n_from_r
 
-        def halo_into(Fm, recv, hval, base):
-            rows = jnp.where(hval[:, None], jnp.concatenate([
-                recv[:, 0:3],                                      # x
-                jnp.zeros((cap_halo, 6), dt_),                     # v, image
-                recv[:, 7:8], recv[:, 6:7],                        # tag, typ
-                recv[:, 8:9],                                      # mol
-                jnp.zeros((cap_halo, 1), dt_),                     # q
-                recv[:, 4:5], recv[:, 3:4],                        # state, λ
-                jnp.zeros((cap_halo, 1), dt_),                     # ucgvl
-                jnp.ones((cap_halo, 1), dt_),                      # ucgml
-                recv[:, 5:6],                                      # ucgp
-                jnp.zeros((cap_halo, _NMIG - 18), dt_),
-            ], axis=1), dflt[None, :])
-            return jax.lax.dynamic_update_slice(
-                Fm, rows, (jnp.asarray(base, jnp.int32), jnp.zeros((), jnp.int32)))
-
-        Fm = halo_into(Fm, from_l, hval_l, cap_local)
-        Fm = halo_into(Fm, from_r, hval_r, cap_local + cap_halo)
+        Fm = halo_into(Fm, from_l, hval_l, cap_local, cap_halo)
+        Fm = halo_into(Fm, from_r, hval_r, cap_local + cap_halo, cap_halo)
         valid = jnp.concatenate([rows_i[:cap_local] < nloc, hval_l, hval_r])
+
+        if two_d:
+            # y stage: owned + x-ghost rows within rc of the y faces (the
+            # x-ghosts' inclusion is what populates corner regions)
+            elig = jnp.concatenate(
+                [valid, jnp.zeros((2 * cap_hy,), bool)])
+            yv = Fm[:, 1]
+            near_d = elig & (yv < y_lo + rc)
+            near_u = elig & (yv >= y_hi - rc)
+            nh_d = jnp.sum(near_d).astype(jnp.int32)
+            nh_u = jnp.sum(near_u).astype(jnp.int32)
+            overflow |= (nh_d > cap_hy) | (nh_u > cap_hy)
+            src_d = _take_first(near_d, cap_hy)
+            src_u = _take_first(near_u, cap_hy)
+
+            hcols2 = halo_feats(Fm)
+            from_d = jax.lax.ppermute(jnp.take(hcols2, src_u, axis=0),
+                                      axis_y, perm_u)
+            n_from_d = jax.lax.ppermute(nh_u, axis_y, perm_u)
+            from_u = jax.lax.ppermute(jnp.take(hcols2, src_d, axis=0),
+                                      axis_y, perm_d)
+            n_from_u = jax.lax.ppermute(nh_d, axis_y, perm_d)
+            shift_d = jnp.where(me_y == 0, -box_L[1], jnp.zeros((), dt_))
+            shift_u = jnp.where(me_y == Dy - 1, box_L[1],
+                                jnp.zeros((), dt_))
+            from_d = from_d.at[:, 1].add(shift_d)
+            from_u = from_u.at[:, 1].add(shift_u)
+
+            hyi = jnp.arange(cap_hy, dtype=jnp.int32)
+            hval_d = hyi < n_from_d
+            hval_u = hyi < n_from_u
+
+            Fm = halo_into(Fm, from_d, hval_d, y_base, cap_hy)
+            Fm = halo_into(Fm, from_u, hval_u, y_base + cap_hy, cap_hy)
+            valid = jnp.concatenate([valid, hval_d, hval_u])
 
         # ---- 3. local neighbor build ---------------------------------------
         # ghost rows are candidates (j) but own no list (i): every tally is
@@ -470,7 +702,8 @@ class SpatialSimulation(Simulation):
         # rows are dropped via ``valid`` and ghost i-slots stop tallying
         # pe/virial via ``restrict_i`` (the kernel analogue of i_valid).
         i_owned = jnp.concatenate(
-            [rows_i[:cap_local] < nloc, jnp.zeros((2 * cap_halo,), bool)])
+            [rows_i[:cap_local] < nloc,
+             jnp.zeros((2 * cap_halo + 2 * cap_hy,), bool)])
         if self._is_column:
             sim0, fout0 = self._sim_of(Fm, pe, vir, key, step, bin_box)
             nbr = colpack.restrict_i(
@@ -492,17 +725,26 @@ class SpatialSimulation(Simulation):
             truncated neighborhoods."""
             vec = a.ndim == 1
             a2 = a[:, None] if vec else a
-            rl = jax.lax.ppermute(jnp.take(a2, src_r, axis=0), axis, perm_r)
-            rr = jax.lax.ppermute(jnp.take(a2, src_l, axis=0), axis, perm_l)
 
-            def put(dst, recv, hval, base):
-                cur = jax.lax.dynamic_slice_in_dim(dst, base, cap_halo)
+            def put(dst, recv, hval, base, cap):
+                cur = jax.lax.dynamic_slice_in_dim(dst, base, cap)
                 new = jnp.where(hval[:, None], recv, cur)
                 return jax.lax.dynamic_update_slice_in_dim(dst, new, base,
                                                            axis=0)
 
-            a2 = put(a2, rl, hval_l, cap_local)
-            a2 = put(a2, rr, hval_r, cap_local + cap_halo)
+            rl = jax.lax.ppermute(jnp.take(a2, src_r, axis=0), axis, perm_r)
+            rr = jax.lax.ppermute(jnp.take(a2, src_l, axis=0), axis, perm_l)
+            a2 = put(a2, rl, hval_l, cap_local, cap_halo)
+            a2 = put(a2, rr, hval_r, cap_local + cap_halo, cap_halo)
+            if two_d:
+                # y stage reads the x-updated rows (x-ghost sources must
+                # carry their owners' fresh values into the corners)
+                rd = jax.lax.ppermute(jnp.take(a2, src_u, axis=0),
+                                      axis_y, perm_u)
+                ru = jax.lax.ppermute(jnp.take(a2, src_d, axis=0),
+                                      axis_y, perm_d)
+                a2 = put(a2, rd, hval_d, y_base, cap_hy)
+                a2 = put(a2, ru, hval_u, y_base + cap_hy, cap_hy)
             return a2[:, 0] if vec else a2
 
         def wrap_pair(fn):
@@ -514,18 +756,16 @@ class SpatialSimulation(Simulation):
             return fn
 
         def refresh(sim_s):
-            dyn = jnp.stack([sim_s.x[:, 0], sim_s.x[:, 1], sim_s.x[:, 2],
-                             sim_s.ucgl,
-                             sim_s.ucgstate.astype(dt_), sim_s.ucgp], axis=1)
-            rl = jax.lax.ppermute(jnp.take(dyn, src_r, axis=0), axis, perm_r)
-            rr = jax.lax.ppermute(jnp.take(dyn, src_l, axis=0), axis, perm_l)
-            rl = rl.at[:, 0].add(shift_l)
-            rr = rr.at[:, 0].add(shift_r)
+            def feats(sim_s):
+                return jnp.stack([sim_s.x[:, 0], sim_s.x[:, 1],
+                                  sim_s.x[:, 2], sim_s.ucgl,
+                                  sim_s.ucgstate.astype(dt_), sim_s.ucgp],
+                                 axis=1)
 
-            def put(sim_s, recv, hval, base):
+            def put(sim_s, recv, hval, base, cap):
                 sel = lambda new, cur: jnp.where(hval, new, cur)
                 upd = {}
-                xh = jax.lax.dynamic_slice_in_dim(sim_s.x, base, cap_halo)
+                xh = jax.lax.dynamic_slice_in_dim(sim_s.x, base, cap)
                 upd["x"] = jax.lax.dynamic_update_slice_in_dim(
                     sim_s.x, jnp.where(hval[:, None], recv[:, 0:3], xh),
                     base, axis=0)
@@ -533,7 +773,7 @@ class SpatialSimulation(Simulation):
                                         ("ucgstate", 4, jnp.int32),
                                         ("ucgp", 5, dt_)):
                     cur = jax.lax.dynamic_slice_in_dim(
-                        getattr(sim_s, name), base, cap_halo)
+                        getattr(sim_s, name), base, cap)
                     new = recv[:, col]
                     new = (jnp.round(new).astype(jnp.int32)
                            if cast == jnp.int32 else new.astype(dt_))
@@ -541,8 +781,25 @@ class SpatialSimulation(Simulation):
                         getattr(sim_s, name), sel(new, cur), base, axis=0)
                 return dataclasses.replace(sim_s, **upd)
 
-            sim_s = put(sim_s, rl, hval_l, cap_local)
-            sim_s = put(sim_s, rr, hval_r, cap_local + cap_halo)
+            dyn = feats(sim_s)
+            rl = jax.lax.ppermute(jnp.take(dyn, src_r, axis=0), axis, perm_r)
+            rr = jax.lax.ppermute(jnp.take(dyn, src_l, axis=0), axis, perm_l)
+            rl = rl.at[:, 0].add(shift_l)
+            rr = rr.at[:, 0].add(shift_r)
+            sim_s = put(sim_s, rl, hval_l, cap_local, cap_halo)
+            sim_s = put(sim_s, rr, hval_r, cap_local + cap_halo, cap_halo)
+            if two_d:
+                # y stage gathers the x-refreshed rows (corner ghosts flow
+                # owner → x-ghost → y-ghost in one step)
+                dyn2 = feats(sim_s)
+                rd = jax.lax.ppermute(jnp.take(dyn2, src_u, axis=0),
+                                      axis_y, perm_u)
+                ru = jax.lax.ppermute(jnp.take(dyn2, src_d, axis=0),
+                                      axis_y, perm_d)
+                rd = rd.at[:, 1].add(shift_d)
+                ru = ru.at[:, 1].add(shift_u)
+                sim_s = put(sim_s, rd, hval_d, y_base, cap_hy)
+                sim_s = put(sim_s, ru, hval_u, y_base + cap_hy, cap_hy)
             return sim_s
 
         def clean(fout):
@@ -581,7 +838,7 @@ class SpatialSimulation(Simulation):
             sim0 = dataclasses.replace(sim0, key=k2)
             sim_cs, stats2, info = fcs.apply(
                 sub, sim0, nbr, params_cs, fcs.ClusterSwitchStats(v=stats_v),
-                axis=axis, valid=valid)
+                axis=sl.axes, valid=valid)
             sim0 = dataclasses.replace(sim0, typ=sim_cs.typ)
             sim0, fout0 = self._forces(sim0, nbr, run_window,
                                        pair_params=params,
@@ -647,13 +904,14 @@ class SpatialSimulation(Simulation):
 
         F1 = _pack_mig(sim1, fout1)
         # owned-row partial sums; halo i-rows tally nothing by construction
-        pe1 = jax.lax.psum(fout1.pe, axis)
-        vir1 = jax.lax.psum(fout1.virial, axis)
+        axes = sl.axes
+        pe1 = jax.lax.psum(fout1.pe, axes)
+        vir1 = jax.lax.psum(fout1.virial, axes)
         flags = {
-            "overflow": jax.lax.psum(overflow.astype(jnp.int32), axis) > 0,
-            "danger": jax.lax.psum(danger.astype(jnp.int32), axis) > 0,
-            "max_occ": jax.lax.pmax(nbr.max_occupancy, axis),
-            "migrated": jax.lax.psum(n_migrated, axis),
+            "overflow": jax.lax.psum(overflow.astype(jnp.int32), axes) > 0,
+            "danger": jax.lax.psum(danger.astype(jnp.int32), axes) > 0,
+            "max_occ": jax.lax.pmax(nbr.max_occupancy, axes),
+            "migrated": jax.lax.psum(n_migrated, axes),
         }
         if cswitch is not None:
             return F1, nloc, pe1, vir1, sim1.key, sim1.step, flags, cs_out
@@ -683,7 +941,7 @@ class SpatialSimulation(Simulation):
         if self._fused_cache is None:
             self._fused_cache = {}
         if key_ not in self._fused_cache:
-            pa, rep = P(self.slab.axis), P()
+            pa, rep = P(self.slab.axes), P()
             flspec = {"overflow": rep, "danger": rep, "max_occ": rep,
                       "migrated": rep}
             if with_cswitch:
@@ -903,10 +1161,10 @@ class SpatialSimulation(Simulation):
                 else:
                     pe_bias = jnp.zeros((), dt_)
                 loc = jnp.stack([ke, ke_lam, pe_bias])
-                tot = jax.lax.psum(loc, sl.axis)
+                tot = jax.lax.psum(loc, sl.axes)
                 return tot, pe, vir
 
-            pa, rep = P(sl.axis), P()
+            pa, rep = P(sl.axes), P()
             self._thermo_sp_fn = jax.jit(jax.shard_map(
                 impl, mesh=self.mesh, in_specs=(pa, pa, rep, rep),
                 out_specs=(rep, rep, rep), check_vma=False))

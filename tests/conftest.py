@@ -1,4 +1,5 @@
-"""Test configuration: run on a virtual 8-device CPU mesh with f64 available.
+"""Test configuration: run on a virtual 12-device CPU mesh with f64 available
+(8 for the slab/GSPMD tests, 3x3 and 3x4 for the 2-D pencil tests).
 
 This is the TPU-native analogue of "test multi-node without a cluster"
 (SURVEY.md §4.3): distributed correctness = single-device result equality under
@@ -13,7 +14,7 @@ import sys
 # config.update route still wins as long as no backend has been initialized.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=12").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -40,7 +40,7 @@ def _build_sim(rng, n=64, L=8.0, method="nsq"):
 
 
 def test_mesh_has_8_devices():
-    assert len(jax.devices()) == 8
+    assert len(jax.devices()) >= 8
 
 
 def test_sharded_run_matches_single_device(rng):

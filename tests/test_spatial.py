@@ -439,3 +439,129 @@ def test_spatial_kernel_path_matches_32k():
         jnp.asarray(np.asarray(st2.x, np.float64))
         - jnp.asarray(np.asarray(sim3.state.x)[order3])))
     assert np.abs(dx3).max() < 1e-3, "x (sharded kernel vs f64 XLA oracle)"
+
+
+# ---------------------------------------------------------------------------
+# 2-D pencil decomposition (VERDICT r2 missing #5): the box cut Dx x Dy in
+# x and y — staged x->y halo/migration, corner ghosts via the y stage.
+# ---------------------------------------------------------------------------
+
+def _run_both_pencil(style, dx=3, dy=3, nblocks=2, n=8192):
+    system, state, compute, params, rc, cfg, L = _mk(n=n, style=style)
+    nsteps = nblocks * cfg.reneigh_every
+    window = (0, nsteps)
+
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell")
+    sim1 = Simulation(system, state, compute, params, spec, cfg)
+    sim1.setup(window)
+    sim1.run_fused(nblocks, run_window=window)
+
+    pen = spatial.make_pencil_spec(n, [L] * 3, rc, 0.4, dx, dy,
+                                   x=np.asarray(state.x))
+    sim2 = spatial.SpatialSimulation(system, state, compute, params, pen,
+                                     cfg)
+    sim2.setup(window)
+    sim2.run_fused(nblocks, run_window=window)
+    return sim1, sim2
+
+
+def test_pencil_ucgld_matches_unsharded():
+    """Full flagship stack on a 3x3 pencil mesh at 8k beads: trajectory ==
+    single-device run at 1e-10, with real migrations in BOTH decomposed
+    dimensions (the staged x->y exchange) and matching thermo."""
+    sim1, sim2 = _run_both_pencil("ucgld")
+    _assert_equal(sim1, sim2)
+    assert sim2._migrations > 0, "no atom crossed a pencil boundary"
+    assert int(np.asarray(sim2._nloc).sum()) == 8192
+    t1, t2 = sim1.thermo(), sim2.thermo()
+    for k in ("temp", "pe", "ke", "ke_lambda", "lambda_temp", "etotal"):
+        np.testing.assert_allclose(t2[k], t1[k], rtol=1e-9, err_msg=k)
+
+
+def test_pencil_rectangular_mesh_matches():
+    """Non-square 3x4 pencil mesh (12 devices): the two decomposed axes are
+    independently sized."""
+    sim1, sim2 = _run_both_pencil("bethe", dx=3, dy=4)
+    _assert_equal(sim1, sim2)
+
+
+@pytest.mark.parametrize("style", ["bethe_density", "rleucg"])
+def test_pencil_density_styles_match(style):
+    """P3/P4 on pencils: the phase-boundary xchg must stage x then y so
+    corner ghosts carry owner-computed densities/CV forces (tolerance
+    rationale: see test_spatial_density_styles_match_unsharded_32k)."""
+    sim1, sim2 = _run_both_pencil(style)
+    _assert_equal(sim1, sim2, atol=2e-5, pe_rtol=1e-7)
+    assert sim2._migrations > 0
+
+
+def test_pencil_kernel_path_matches():
+    """The fused Pallas kernel on a 3x3 pencil mesh (non-periodic x AND y
+    virtual box: poisoned stencil codes at both edge families), vs the
+    unsharded kernel path."""
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+    n, nblocks = 8192, 2
+    rng = np.random.default_rng(7)
+    L = (n / RHO) ** (1 / 3)
+    x = _uniform_fluid(rng, n, L)
+    v = rng.normal(0, 0.9, (n, 3))
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgstate = rng.integers(0, 2, n)
+    ucgvl = rng.normal(0, 0.3, n)
+    _, bank32, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+
+    def mk_state():
+        return SimState.create(
+            x=x, v=v, typ=np.ones(n, np.int32), ucgl=ucgl,
+            ucgstate=ucgstate, ucgvl=ucgvl, ucgml=np.full(n, 5.0),
+            box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float32),
+            dtype=jnp.float32)
+
+    integ = fi.IntegratorCfg("nve/ucgld/wall/hard", bias_potential=True,
+                             barrier=0.1)
+    cfg = SimConfig(dt=0.004, units="lj", integrator=integ,
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=fs.UCGStateCfg(mode="ld"), reneigh_every=5)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    window = (0, nblocks * cfg.reneigh_every)
+
+    params = pair_ucgld.UCGLDParams(bank=bank32, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    params = dataclasses.replace(params, cheb=chebtab.fit_bank(bank32),
+                                 chunk=0)
+
+    spec1 = colpack.measure_spec(x, [L] * 3, rc, 0.4)
+    sim1 = Simulation(system, mk_state(), pk.compute_style, params, spec1,
+                      cfg)
+    sim1.setup(window)
+    sim1.run_fused(nblocks, run_window=window)
+
+    pen = spatial.make_column_pencil_spec(n, [L] * 3, rc, 0.4, 3, 3, x=x)
+    assert not pen.nbr.periodic_x and not pen.nbr.periodic_y
+    sim2 = spatial.SpatialSimulation(system, mk_state(), pk.compute_style,
+                                     params, pen, cfg)
+    sim2.setup(window)
+    sim2.run_fused(nblocks, run_window=window)
+    assert sim2._migrations > 0
+
+    st2, fout2 = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    dx = np.asarray(sim1.state.box.min_image(
+        st2.x - jnp.asarray(np.asarray(sim1.state.x)[order])))
+    assert np.abs(dx).max() < 1e-4, "x (pencil kernel vs unsharded kernel)"
+    for name, tol in (("v", 1e-5), ("ucgl", 1e-6), ("ucgvl", 1e-5),
+                      ("ucgp", 1e-5)):
+        a = np.asarray(getattr(sim1.state, name))[order]
+        b = np.asarray(getattr(st2, name))
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=name)
+    np.testing.assert_allclose(float(fout2.pe), float(sim1._fcarry.pe),
+                               rtol=1e-5)
+
+
+def test_pencil_requires_3_cuts_and_wide_pencils():
+    with pytest.raises(ValueError, match="3 cuts"):
+        spatial.make_pencil_spec(512, [30.0, 30.0, 30.0], 2.5, 0.4, 4, 2)
+    with pytest.raises(ValueError, match="pencil widths"):
+        spatial.make_pencil_spec(512, [30.0, 8.0, 30.0], 2.5, 0.4, 3, 3)
