@@ -26,7 +26,7 @@ import numpy as np
 from numpy.polynomial import chebyshev as C
 
 from lammps_ucg_dev_tpu.core.state import pytree_dataclass
-from lammps_ucg_dev_tpu.ops.table import LINEAR, TableBank
+from lammps_ucg_dev_tpu.ops.table import BITMAP, LINEAR, SPLINE, TableBank
 
 
 @pytree_dataclass(meta_fields=("degree",))
@@ -44,9 +44,85 @@ class ChebBank:
     degree: int = 16
 
 
+def _shared_domain(bank: TableBank):
+    """(lo, hi) of the rsq domain when every table shares it, else None.
+    LINEAR/SPLINE: shared (innersq, delta) uniform binning; BITMAP: shared
+    (innersq, cut²) — its bit-binned grid is identical across tables by
+    construction when those agree."""
+    if bank.style not in (LINEAR, SPLINE, BITMAP):
+        return None
+    inn = np.asarray(bank.innersq, np.float64)
+    if not np.all(np.abs(inn - inn[0]) <= 1e-12 * max(1.0, abs(inn[0]))):
+        return None
+    if bank.style == BITMAP:
+        cut = np.asarray(bank.cutsq, np.float64)
+        if not np.all(np.abs(cut - cut[0]) <= 1e-12 * cut[0]):
+            return None
+        nm = np.asarray(bank.nmask)
+        if not np.all(nm == nm[0]):       # same bit grid across tables
+            return None
+        return float(inn[0]), float(cut[0])
+    dlt = np.asarray(bank.delta, np.float64)
+    if not np.all(np.abs(dlt - dlt[0]) <= 1e-12 * dlt[0]):
+        return None
+    return float(inn[0]), float(inn[0] + (bank.nbins - 1) * dlt[0])
+
+
+def fittable(bank: TableBank) -> bool:
+    """Whether the fused-kernel Chebyshev compression applies to this bank
+    (the quality gate on ``max_rel_err`` still decides per fit): LINEAR,
+    SPLINE, or BITMAP with a shared rsq domain.  LOOKUP's staircase never
+    fits, so it is excluded up front."""
+    return _shared_domain(bank) is not None
+
+
+def _sample_channels(bank: TableBank, t: int, rsq: np.ndarray):
+    """Host f64 evaluation of table ``t``'s (e, f/r) at dense rsq — the
+    exact function TableBank.interp computes for each style (the fit target
+    must be the XLA path's interpolant so kernel-vs-XLA differences stay
+    bounded by the reported fit error)."""
+    inn = float(np.asarray(bank.innersq)[t])
+    L = bank.nbins
+    e_arr = np.asarray(bank.e, np.float64)[t]
+    f_arr = np.asarray(bank.f, np.float64)[t]
+    if bank.style == BITMAP:
+        # float32-bit binning, matching interp's BITMAP branch bit-for-bit
+        pk = np.asarray(bank.packed, np.float64).reshape(bank.n_tables, L, 6)
+        rs32 = np.maximum(rsq, inn).astype(np.float32)
+        bits = rs32.view(np.int32)
+        nmask = int(np.asarray(bank.nmask)[t])
+        nshift = int(np.asarray(bank.nshiftbits)[t])
+        it = np.right_shift(np.bitwise_and(bits, nmask), nshift)
+        frac = (rs32.astype(np.float64) - pk[t, it, 4]) * pk[t, it, 5]
+        return (pk[t, it, 0] + frac * pk[t, it, 1],
+                pk[t, it, 2] + frac * pk[t, it, 3])
+    delta = float(np.asarray(bank.delta)[t])
+    xb = (rsq - inn) / delta
+    it = np.clip(xb.astype(int), 0, L - 2)
+    frac = xb - it
+    if bank.style == SPLINE:
+        e2 = np.asarray(bank.e2, np.float64)[t]
+        f2 = np.asarray(bank.f2, np.float64)[t]
+        d6 = float(np.asarray(bank.deltasq6)[t])
+        b = frac
+        a = 1.0 - b
+        wa = a * a * a - a
+        wb = b * b * b - b
+        e = a * e_arr[it] + b * e_arr[it + 1] + (wa * e2[it]
+                                                 + wb * e2[it + 1]) * d6
+        f = a * f_arr[it] + b * f_arr[it + 1] + (wa * f2[it]
+                                                 + wb * f2[it + 1]) * d6
+        return e, f
+    de_arr = np.asarray(bank.de, np.float64)[t]
+    df_arr = np.asarray(bank.df, np.float64)[t]
+    return (e_arr[it] + frac * de_arr[it], f_arr[it] + frac * df_arr[it])
+
+
 def fit_bank(bank: TableBank, degree: int | None = None, oversample: int = 4,
              dtype=jnp.float32, rel_tol: float = 1e-5) -> ChebBank:
-    """Fit every table's e and f/r channels of a uniform LINEAR bank.
+    """Fit every table's e and f/r channels of a shared-domain LINEAR,
+    SPLINE, or BITMAP bank (the fit targets each style's exact
+    interpolant — see _sample_channels).
 
     degree=None auto-selects the smallest degree in {6, 8, 12, 16, 20, 24}
     whose max relative fit error is below ``rel_tol`` (the kernel cost is
@@ -60,33 +136,24 @@ def fit_bank(bank: TableBank, degree: int | None = None, oversample: int = 4,
             if float(np.max(np.asarray(last.max_rel_err))) < rel_tol:
                 return last
         return last
-    if bank.style != LINEAR or not bank.uniform:
-        raise ValueError("ChebBank requires a uniform LINEAR TableBank")
+    dom = _shared_domain(bank)
+    if dom is None:
+        raise ValueError("ChebBank requires a shared-domain LINEAR, SPLINE, "
+                         "or BITMAP TableBank")
+    innersq, hi = dom
     T = bank.n_tables
     L = bank.nbins
-    innersq = float(np.asarray(bank.innersq)[0])
-    delta = float(np.asarray(bank.delta)[0])
-    hi = innersq + (L - 1) * delta
 
-    # dense samples of the exact linear-interp function
+    # dense samples of the exact interpolant
     m = oversample * L
     rsq = np.linspace(innersq, hi, m)
-    xb = (rsq - innersq) / delta
-    it = np.clip(xb.astype(int), 0, L - 2)
-    frac = xb - it
-
-    e_arr = np.asarray(bank.e, np.float64)
-    de_arr = np.asarray(bank.de, np.float64)
-    f_arr = np.asarray(bank.f, np.float64)
-    df_arr = np.asarray(bank.df, np.float64)
 
     u = 2.0 * (rsq - innersq) / (hi - innersq) - 1.0
     coeffs = np.zeros((2 * T, degree))
     max_abs = np.zeros(2 * T)
     max_rel = np.zeros(2 * T)
     for t in range(T):
-        for c, (base, dlt) in enumerate(((e_arr, de_arr), (f_arr, df_arr))):
-            y = base[t, it] + frac * dlt[t, it]
+        for c, y in enumerate(_sample_channels(bank, t, rsq)):
             ch = C.chebfit(u, y, degree - 1)
             fit = C.chebval(u, ch)
             err = np.abs(fit - y)

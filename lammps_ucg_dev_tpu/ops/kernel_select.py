@@ -18,7 +18,7 @@ which is the general implementation and correctness oracle):
   and __graft_entry__'s dryrun leg 3.
 * float32 state (the kernel computes in f32)
 * style support (``pallas_pair.supports``: table_ucgld, one actual type,
-  2 states, uniform LINEAR tables)
+  2 states, Chebyshev-fittable shared-domain LINEAR/SPLINE/BITMAP tables)
 * orthogonal box, large enough for the 3x3 column stencil
 * Chebyshev fit of the table bank within ``rel_tol``
 * no bonded terms / special exclusions / cluster_switch (they need the

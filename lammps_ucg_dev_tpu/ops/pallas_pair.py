@@ -16,7 +16,8 @@ pseudolikelihood scores — pair_table_ucgld.cpp:111-541), new data movement:
 * Per-atom-owned tallies (full-list/newton-off): each program writes only its
   own G·8 rows; no scatter anywhere.
 
-Scope: uniform LINEAR tables sharing one cutoff; up to 3 actual types,
+Scope: shared-domain LINEAR/SPLINE/BITMAP tables (Chebyshev-fit of each
+style's exact interpolant) sharing one cutoff; up to 3 actual types,
 each plain (1-state) or 2-state UCG — multi-type systems assemble the 2x2
 state block per candidate from class masks over ordered type pairs (see
 ``_kernel``'s ``classes``).  A fused ``table_ucg_bethe`` variant shares the
@@ -38,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from lammps_ucg_dev_tpu.core.state import ForceOut, SimState
 from lammps_ucg_dev_tpu.models.pair_ucgld import UCGLDParams
 from lammps_ucg_dev_tpu.ops import colpack
-from lammps_ucg_dev_tpu.ops.chebtab import ChebBank
+from lammps_ucg_dev_tpu.ops.chebtab import ChebBank, fittable
 
 CL = colpack.CL
 W = colpack.W
@@ -46,13 +47,14 @@ NSTEN = colpack.NSTEN
 
 
 def supports(params: UCGLDParams, n_atoms: int) -> bool:
-    """Static eligibility of the fused kernel for this system: uniform
-    LINEAR tables, every type plain (1-state) or 2-state UCG, one shared
+    """Static eligibility of the fused kernel for this system: a
+    Chebyshev-fittable bank (shared-domain LINEAR/SPLINE/BITMAP — see
+    chebtab.fittable), every type plain (1-state) or 2-state UCG, one shared
     cutoff, and a bounded channel count (the class-mask assembly unrolls
     over ordered type pairs — see _kernel's ``classes``)."""
     tp = params.tp
     ntypes = tp.cutsq.shape[0] - 1
-    if not bool(params.bank.uniform) or ntypes < 1:
+    if not fittable(params.bank) or ntypes < 1:
         return False
     ns = np.asarray(tp.n_states)[1:]
     if not np.all((ns == 1) | (ns == 2)) or not np.any(ns == 2):
@@ -929,7 +931,7 @@ def supports_bethe(params, n_atoms: int) -> bool:
         return False
     tp = params.tp
     ntypes = tp.cutsq.shape[0] - 1
-    if not bool(params.bank.uniform) or ntypes < 1:
+    if not fittable(params.bank) or ntypes < 1:
         return False
     ns = np.asarray(tp.n_states)[1:]
     if not np.all((ns == 1) | (ns == 2)) or not np.any(ns == 2):
@@ -1071,7 +1073,7 @@ def supports_density(params, n_atoms: int) -> bool:
         return False
     tp = params.tp
     ntypes = tp.cutsq.shape[0] - 1
-    if not bool(params.bank.uniform) or ntypes < 1:
+    if not fittable(params.bank) or ntypes < 1:
         return False
     ns = np.asarray(tp.n_states)[1:]
     if not np.all((ns == 1) | (ns == 2)) or not np.any(ns == 2):
@@ -1271,7 +1273,7 @@ def supports_rleucg(params, n_atoms: int) -> bool:
     if params.max_states != 2 or params.feedback not in ("always", "never"):
         return False
     S = params.cutsq.shape[0] - 1
-    if not bool(params.bank.uniform) or S < 1 or S > 3:
+    if not fittable(params.bank) or S < 1 or S > 3:
         return False
     cuts = np.asarray(params.cutsq)[1:, 1:]
     if not np.allclose(cuts, cuts[0, 0]):

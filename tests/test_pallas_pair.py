@@ -4,6 +4,7 @@ A/B'd against the XLA path in the benchmark)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from dataclasses import replace as dataclasses_replace
 
 import helpers
@@ -124,6 +125,55 @@ def test_bethe_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out_f.f), np.asarray(out_k.f),
                                atol=1e-5 * scale)
     assert float(out_f.pe) == 0.0
+
+
+@pytest.mark.parametrize("tabstyle,tablength", [("spline", 1200),
+                                                ("bitmap", 10)])
+def test_kernel_matches_xla_spline_bitmap_banks(rng, tabstyle, tablength):
+    """Widened kernel table scope: SPLINE and BITMAP banks ride the same
+    fused kernel via a Chebyshev fit of each style's EXACT interpolant
+    (chebtab._sample_channels replicates TableBank.interp per style), so
+    kernel-vs-XLA stays bounded by the reported fit error."""
+    st, bank, tp, rc = helpers.build_two_state(tabstyle=tabstyle,
+                                               tablength=tablength,
+                                               dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    state = SimState.create(
+        x=x, typ=np.ones(n, np.int32), ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    assert chebtab.fittable(bank)
+    assert pk.supports(params, n)
+    cheb = chebtab.fit_bank(bank)
+    fit_err = float(jnp.max(cheb.max_rel_err))
+    assert fit_err < 1e-4, fit_err
+
+    out_k = pk.compute(state, cl, params, cheb, interpret=True)
+    out_x = pair_ucgld.compute(state, colpack.as_neighbor_list(cl, n),
+                               params)
+    scale = float(np.abs(np.asarray(out_x.f)).max())
+    tol = max(3e-5, 5.0 * fit_err)
+    np.testing.assert_allclose(np.asarray(out_k.f), np.asarray(out_x.f),
+                               atol=tol * scale)
+    np.testing.assert_allclose(float(out_k.pe), float(out_x.pe), rtol=tol)
+    np.testing.assert_allclose(np.asarray(out_k.ucgforce),
+                               np.asarray(out_x.ucgforce), atol=2.0 * tol)
+    # scores accumulate the per-pair fit error over ~90 neighbors / kT
+    np.testing.assert_allclose(np.asarray(out_k.scores),
+                               np.asarray(out_x.scores), atol=30.0 * tol)
+
+
+def test_lookup_bank_not_fittable():
+    """LOOKUP's staircase is excluded up front (fittable returns False) —
+    those decks keep the XLA gather path."""
+    _, bank, _, _ = helpers.build_two_state(tabstyle="lookup")
+    assert not chebtab.fittable(bank)
 
 
 def test_bethe_kernel_at_f32_clamp_boundary(rng):
