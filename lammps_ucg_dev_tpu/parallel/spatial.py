@@ -365,11 +365,14 @@ def _take_first(mask: jax.Array, cap: int) -> jax.Array:
 
 
 class SpatialSimulation(Simulation):
-    """Slab-decomposed driver with the single-chip Simulation's physics stack
-    (same pair styles, same fix ordering via ``_forces``, same thermo).
+    """Slab/pencil-decomposed driver with the single-chip Simulation's
+    physics stack (same pair styles incl. the fused Pallas column kernel,
+    same fix ordering via ``_forces``, same thermo), plus distributed
+    cluster_switch (pmin label propagation over the mesh axes).
 
     Not supported on this path (use Simulation + parallel.domain):
-    cluster_switch, the Pallas column kernel, sort_atoms, extra_post_force.
+    bonded terms / rRESPA (no constructor arg — molecule topology does not
+    ride the halo), sort_atoms, extra_post_force.
     """
 
     def __init__(self, system, state: SimState, pair_compute, pair_params,
