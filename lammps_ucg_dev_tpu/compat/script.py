@@ -104,6 +104,7 @@ class ScriptRunner:
         self.reneigh_check = True
         self.respa_inner = 1
         self.neighbor_method: str | None = None
+        self.processors: "tuple | None" = None   # (px, py) device grid
         self.pair: _PendingPair | None = None
         self.bond_style: str | None = None
         self.bond_coeffs: dict = {}
@@ -324,6 +325,29 @@ class ScriptRunner:
                 i += 2
             else:
                 i += 1
+
+    def _cmd_processors(self, a):
+        """processors Px Py Pz — the LAMMPS processor-grid command, mapped
+        onto the TPU device mesh: Px > 1, Py == 1 → 1-D slab decomposition
+        over Px devices; Px, Py > 1 → 2-D x-y pencils on a Px × Py mesh
+        (parallel/spatial.py).  Pz must be 1 or * (z is not cut — a pencil
+        already scales to ⌊Lx/rc⌋·⌊Ly/rc⌋ devices).  '*' for Px means "all
+        devices as slabs".  Without this command runs are single-device,
+        exactly like serial LAMMPS."""
+        if len(a) < 3:
+            raise ValueError("processors requires Px Py Pz")
+        if a[2] not in ("1", "*"):
+            raise ValueError("processors: Pz must be 1 or * (the z axis "
+                             "is not decomposed)")
+        import jax
+
+        ndev = jax.device_count()
+        px = ndev if a[0] == "*" else int(a[0])
+        py = 1 if a[1] == "*" else int(a[1])
+        if px * py > ndev:
+            raise ValueError(f"processors {px}x{py} exceeds the "
+                             f"{ndev} available devices")
+        self.processors = (px, py)
 
     def _cmd_run_style(self, a):
         # run_style verlet | respa 2 N bond 1 pair 2  (two-level r-RESPA:
@@ -656,20 +680,20 @@ class ScriptRunner:
                     break
         L = np.asarray(self.state.box.lengths)
         bparams, excl = self._build_bonded(n)
+        px, py = self.processors if self.processors else (1, 1)
+        multi = px * py > 1
         spec = None
+        sel = None
         if bparams is None and excl is None and self.cswitch is None:
             # production fused-kernel path on TPU (ops/kernel_select.py);
             # decks need no opt-in — the XLA path remains the fallback
             from lammps_ucg_dev_tpu.ops.kernel_select import select_pair_kernel
 
             sel = select_pair_kernel(pair_params, self.state, cutoff,
-                                     self.skin)
+                                     self.skin, multichip=multi)
             if sel is not None:
                 pair_compute, spec, pair_params = sel
                 self.log("pair path: fused Pallas column kernel")
-        if spec is None:
-            spec = nbrmod.make_spec(n, L, cutoff, self.skin,
-                                    method=self.neighbor_method)
         dt = self.dt if self.dt is not None else u.dt_default
         cfg = SimConfig(
             dt=dt, units=self.units, integrator=self.integrator,
@@ -679,10 +703,57 @@ class ScriptRunner:
             respa_inner=self.respa_inner)
         system = System(n_atoms=n, ntypes=self.system.ntypes,
                         masses=self._masses(), units=self.units)
+        if multi and self._make_spatial_sim(system, cfg, pair_compute,
+                                            pair_params, cutoff, n, L,
+                                            px, py, sel is not None,
+                                            bparams, excl):
+            return
+        if spec is None:
+            spec = nbrmod.make_spec(n, L, cutoff, self.skin,
+                                    method=self.neighbor_method)
         self.sim = Simulation(system, self.state, pair_compute, pair_params,
                               spec, cfg, cluster_switch=self.cswitch,
                               log_dir=self.workdir if self.cswitch else None,
                               bonded=bparams, excl_tags=excl)
+        if multi:
+            # bonded topology / triclinic boxes don't ride the spatial
+            # halos: the GSPMD atom decomposition is the general multi-chip
+            # fallback (replicated-gather comm, bit-exact vs single device)
+            from lammps_ucg_dev_tpu.parallel import domain
+
+            domain.distribute(self.sim, domain.make_mesh(px * py))
+            self.log(f"multi-chip: GSPMD atom decomposition over "
+                     f"{px * py} devices")
+
+    def _make_spatial_sim(self, system, cfg, pair_compute, pair_params,
+                          cutoff, n, L, px, py, kernel: bool,
+                          bparams, excl) -> bool:
+        """Build the spatial (slab/pencil) driver for a ``processors``
+        deck, or return False for the GSPMD fallback (bonded/triclinic)."""
+        if bparams is not None or excl is not None:
+            return False
+        if getattr(self.state.box, "is_triclinic", False):
+            return False
+        from lammps_ucg_dev_tpu.parallel import spatial
+
+        lo = np.asarray(self.state.box.lo)
+        x = np.asarray(self.state.box.wrap(self.state.x)) - lo[None, :]
+        if py == 1:
+            mk = (spatial.make_column_slab_spec if kernel
+                  else spatial.make_slab_spec)
+            slab = mk(n, L, cutoff, self.skin, px, x=x)
+        else:
+            mk = (spatial.make_column_pencil_spec if kernel
+                  else spatial.make_pencil_spec)
+            slab = mk(n, L, cutoff, self.skin, px, py, x=x)
+        self.sim = spatial.SpatialSimulation(
+            system, self.state, pair_compute, pair_params, slab, cfg,
+            cluster_switch=self.cswitch,
+            log_dir=self.workdir if self.cswitch else None)
+        kind = "slab" if py == 1 else "pencil"
+        self.log(f"multi-chip: spatial {kind} decomposition {px}x{py} "
+                 f"(shard_map + ppermute halos)")
+        return True
 
     def _build_bonded(self, n):
         """BondedParams + special exclusion tags from the data-file topology

@@ -31,12 +31,16 @@ import numpy as np
 
 
 def select_pair_kernel(params, state, cutoff: float, skin: float,
-                       rel_tol: float = 1e-4, force: "bool | None" = None):
+                       rel_tol: float = 1e-4, force: "bool | None" = None,
+                       multichip: bool = False):
     """Returns (pair_fn, spec, params) for the fused path, or None.
 
     ``force=True`` skips the backend/device checks (tests); ``force=False``
-    disables selection outright.
-    """
+    disables selection outright.  ``multichip=True`` keeps the TPU platform
+    check but allows multiple devices — the caller is routing the result
+    through the spatial drivers (the per-device column spec is then rebuilt
+    by make_column_slab_spec/make_column_pencil_spec; the returned spec is
+    the single-chip one)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +60,7 @@ def select_pair_kernel(params, state, cutoff: float, skin: float,
     if force is None:
         try:
             if (jax.devices()[0].platform != "tpu"
-                    or jax.device_count() != 1):
+                    or (jax.device_count() != 1 and not multichip)):
                 return None
         except Exception:
             return None

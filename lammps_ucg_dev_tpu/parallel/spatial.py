@@ -1111,6 +1111,9 @@ class SpatialSimulation(Simulation):
             if self.cfg.check_safety and bool(fl["overflow"]):
                 raise RuntimeError("spatial capacity exceeded")
         state, _ = self.gather()
+        # keep .state coherent for callers that read it between runs (the
+        # input-script runner's thermo/dump emit; Simulation.run parity)
+        self.state = state
         return state
 
     def _finish_cswitch(self, cs, step: int):

@@ -258,3 +258,67 @@ def test_restart_persists_settings_and_masses(tmp_path):
         r4 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
                           log_callback=lambda m: None)
         r4.run_string("units real\natom_style ucg\nread_restart chk.npz\n")
+
+
+@pytest.mark.parametrize("procs,kind", [("3 1 1", "slab"),
+                                        ("3 3 1", "pencil")])
+def test_processors_command_multichip_deck(tmp_path, procs, kind):
+    """The LAMMPS ``processors Px Py Pz`` command maps onto the TPU device
+    mesh: the SAME deck runs single-device, on Px slabs, and on a Px x Py
+    pencil mesh with matching thermo (f64; tag-keyed RNG makes the
+    trajectory decomposition-invariant)."""
+    logs = []
+    deck = write_ucgld_deck(str(tmp_path), n=512, nsteps=40, dt=0.002,
+                            tablength=800, thermo_every=20)
+    text = open(deck).read()
+
+    r1 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r1.run_string(text)
+
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=logs.append)
+    r2.run_string(f"processors {procs}\n" + text)
+    assert any(kind in m for m in logs if "multi-chip" in m), logs
+
+    assert len(r2.thermo_rows) == len(r1.thermo_rows)
+    for a, b in zip(r1.thermo_rows, r2.thermo_rows):
+        assert a["step"] == b["step"]
+        for k in ("temp", "pe", "ke", "etotal"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)
+    o1 = np.argsort(np.asarray(r1.state.tag))
+    o2 = np.argsort(np.asarray(r2.state.tag))
+    np.testing.assert_allclose(np.asarray(r2.state.v)[o2],
+                               np.asarray(r1.state.v)[o1], atol=1e-10)
+
+
+def test_processors_command_validation(tmp_path):
+    deck = write_ucgld_deck(str(tmp_path), n=64, nsteps=0)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    with pytest.raises(ValueError, match="Pz must be 1"):
+        r.command("processors 2 2 2")
+    with pytest.raises(ValueError, match="exceeds"):
+        r.command("processors 99 9 1")
+
+
+def test_processors_bonded_deck_uses_gspmd(tmp_path):
+    """A bonded deck with ``processors``: molecule topology doesn't ride
+    the spatial halos, so the runner falls back to the GSPMD atom
+    decomposition (bit-exact vs single device)."""
+    from make_deck import write_molecular_switch_deck
+
+    deck = write_molecular_switch_deck(str(tmp_path), nmol=48, nsteps=40,
+                                       thermo_every=20)
+    text = open(deck).read()
+    r1 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r1.run_file(deck)
+    logs = []
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=logs.append)
+    r2.run_string("processors 4 1 1\n" + text)
+    assert any("GSPMD" in m for m in logs), logs
+    for a, b in zip(r1.thermo_rows, r2.thermo_rows):
+        for k in ("temp", "pe", "etotal"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-12, err_msg=k)
