@@ -684,9 +684,12 @@ class ScriptRunner:
         multi = px * py > 1
         spec = None
         sel = None
-        if bparams is None and excl is None and self.cswitch is None:
-            # production fused-kernel path on TPU (ops/kernel_select.py);
-            # decks need no opt-in — the XLA path remains the fallback
+        # production fused-kernel path on TPU (ops/kernel_select.py); decks
+        # need no opt-in — the XLA path remains the fallback.  Single-chip
+        # cluster_switch composes with the kernel (the event builds its own
+        # contact list); the spatial drivers still need the atom path there.
+        if bparams is None and excl is None and (self.cswitch is None
+                                                 or not multi):
             from lammps_ucg_dev_tpu.ops.kernel_select import select_pair_kernel
 
             sel = select_pair_kernel(pair_params, self.state, cutoff,

@@ -21,8 +21,10 @@ which is the general implementation and correctness oracle):
   2 states, Chebyshev-fittable shared-domain LINEAR/SPLINE/BITMAP tables)
 * orthogonal box, large enough for the 3x3 column stencil
 * Chebyshev fit of the table bank within ``rel_tol``
-* no bonded terms / special exclusions / cluster_switch (they need the
-  atom-neighbor-list path)
+* no bonded terms / special exclusions (they need per-pair masking in the
+  pair loop — the atom-neighbor-list path).  Single-chip cluster_switch
+  DOES compose: the event builds its own contact neighbor list
+  (runtime/sim.py _cswitch_impl), so config-4 decks keep the kernel.
 """
 
 from __future__ import annotations

@@ -140,6 +140,7 @@ class Simulation:
             and getattr(pair_compute, "slot_fast", None) is not None)
         self.log_dir = log_dir
         self._cswitch_jit = None
+        self._cs_spec = None
         if cluster_switch is not None:
             params_cs, freq = cluster_switch
             if freq % cfg.reneigh_every != 0:
@@ -147,6 +148,17 @@ class Simulation:
                     "cluster_switch frequency must be a multiple of "
                     f"reneigh_every (got {freq} vs {cfg.reneigh_every})"
                 )
+            if self._is_column:
+                # the column kernel owns the pair path; the event builds its
+                # own small atom-neighbor CONTACT list (cutoff = the switch
+                # contact distance, typically << pair rc) — the analogue of
+                # the reference reusing the pair half-list for contacts
+                # (fix_cluster_switch.cpp:537-560), except contacts get a
+                # right-sized list instead of the pair candidate structure
+                cut_cs = float(np.sqrt(float(params_cs.cutsq)))
+                self._cs_spec = nbrmod.make_spec(
+                    state.n_atoms, np.asarray(state.box.lengths, np.float64),
+                    cut_cs, 0.0, method="cell")
             self._cswitch_jit = jax.jit(self._cswitch_impl)
         self._fcarry: ForceOut | None = None
         self._nbr = None
@@ -494,14 +506,12 @@ class Simulation:
         params_cs, _ = self.cswitch
         x_w, image = state.box.wrap(state.x, state.image)
         state = dataclasses.replace(state, x=x_w, image=image)
-        if self._is_column:
-            raise NotImplementedError(
-                "fix cluster_switch requires the atom-neighbor-list path "
-                "(NeighborSpec); the column/kernel path does not build one")
-        nbr = nbrmod.build(state.x, state.box, self.nbr_spec)
+        spec = self._cs_spec if self._is_column else self.nbr_spec
+        nbr = nbrmod.build(state.x, state.box, spec)
         key, sub = jax.random.split(state.key)
         state = dataclasses.replace(state, key=key)
-        return fcs.apply(sub, state, nbr, params_cs, stats)
+        st2, stats2, info = fcs.apply(sub, state, nbr, params_cs, stats)
+        return st2, stats2, dict(info, nbr_overflow=nbr.overflow)
 
     def _maybe_cluster_switch(self):
         if self.cswitch is None:
@@ -512,6 +522,9 @@ class Simulation:
             return
         self.state, self.cswitch_stats, info = self._cswitch_jit(
             self.state, self.cswitch_stats)
+        if self.cfg.check_safety and bool(info["nbr_overflow"]):
+            raise RuntimeError(
+                "cluster_switch contact-list capacity exceeded")
         if not bool(info["converged"]):
             raise RuntimeError(
                 "cluster_switch label propagation hit max_sweeps without "

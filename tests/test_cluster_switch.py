@@ -171,3 +171,67 @@ def test_cluster_switch_in_simulation(rng, tmp_path):
     assert lines[0].startswith("10 ") and lines[1].startswith("20 ")
     # types flipped only between the ON/OFF lists
     assert set(np.asarray(sim.state.typ).tolist()).issubset({1, 2})
+
+
+def test_cluster_switch_composes_with_column_kernel(rng):
+    """Single-chip fix cluster_switch + the fused column kernel (the
+    config-4 composition): the event builds its own right-sized contact
+    neighbor list (runtime/sim.py _cswitch_impl), so the discrete outcome
+    (flipped types, 7-stat vector) is bit-identical to the
+    atom-neighbor-list path evaluated from the same state, and the full
+    driver runs events on the kernel path."""
+    import dataclasses
+
+    import helpers
+    from lammps_ucg_dev_tpu.core.state import System
+    from lammps_ucg_dev_tpu.fixes import integrate as fi
+    from lammps_ucg_dev_tpu.fixes import langevin as fl
+    from lammps_ucg_dev_tpu.models import pair_ucgld
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+    from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
+
+    st, bank, tp, rc = helpers.build_mixed(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = helpers.random_fluid(rng, n, L, min_sep=0.8)
+    types = rng.integers(1, 3, n).astype(np.int32)
+    mols = np.arange(1, n + 1, dtype=np.int32)
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.3, (n, 3)), typ=types, mol=mols,
+        ucgl=rng.uniform(0.2, 0.8, n), ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    assert pk.supports(params, n)
+    params_k = dataclasses.replace(params, cheb=chebtab.fit_bank(bank),
+                                   chunk=0)
+    cs_params = cs.make_params(
+        ntypes=2, contacts=[(1, 1), (1, 2), (2, 2)], atomtypes_on=[2],
+        atomtypes_off=[1], probON=0.5, cutoff=1.3, mol_seed=1, mol_offset=0,
+        maxmol=n, dtype=jnp.float32)
+    system = System(n_atoms=n, ntypes=2, masses=np.array([0.0, 1.0, 1.0]))
+    cfg = SimConfig(dt=0.002, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5), reneigh_every=5)
+
+    spec_k = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    simk = Simulation(system, state, pk.compute_style, params_k, spec_k,
+                      cfg, cluster_switch=(cs_params, 10))
+    spec_a = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell")
+    sima = Simulation(system, state, pair_ucgld.compute, params, spec_a,
+                      cfg, cluster_switch=(cs_params, 10))
+    assert simk._cs_spec is not None and sima._cs_spec is None
+
+    # same input state through both events: contacts are recomputed from
+    # identical positions and the RNG key is identical, so the discrete
+    # outcome must match exactly despite the different candidate lists
+    s1, v1, i1 = simk._cswitch_jit(state, simk.cswitch_stats)
+    s2, v2, i2 = sima._cswitch_jit(state, sima.cswitch_stats)
+    np.testing.assert_array_equal(np.asarray(s1.typ), np.asarray(s2.typ))
+    np.testing.assert_array_equal(np.asarray(v1.v), np.asarray(v2.v))
+    assert bool(i1["converged"]) and not bool(i1["nbr_overflow"])
+    assert (np.asarray(s1.typ) != types).sum() > 0, "no flip — no power"
+
+    # the full kernel-path driver runs events end-to-end
+    simk.run(15)
+    assert np.asarray(simk.cswitch_stats.v)[0] > 0
