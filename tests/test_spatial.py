@@ -560,6 +560,74 @@ def test_pencil_kernel_path_matches():
                                rtol=1e-5)
 
 
+def test_pencil_cluster_switch_matches_unsharded():
+    """fix cluster_switch on the 2-D pencil mesh: label propagation pmins
+    over BOTH mesh axes (the tuple-axis form of the reference's
+    MPI_Allreduce(MIN) loop), molecules span pencil corners, and the
+    discrete outcome matches the single-device run exactly."""
+    from lammps_ucg_dev_tpu.fixes import cluster_switch as cs
+
+    n_mol, apm = 2048, 4
+    n = n_mol * apm
+    rng = np.random.default_rng(11)
+    L = (n / 0.5) ** (1 / 3)
+    centers = rng.uniform(0, L, (n_mol, 3))
+    x = (centers[:, None, :] + rng.normal(0, 0.35, (n_mol, apm, 3))
+         ).reshape(n, 3) % L
+    mols = np.repeat(np.arange(1, n_mol + 1), apm).astype(np.int32)
+    mtype = rng.integers(1, 3, n_mol)
+    typ = np.repeat(mtype, apm).astype(np.int32)
+
+    st, bank, tp, rc = helpers.build_mixed()
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.8, (n, 3)), typ=typ, mol=mols,
+        ucgl=rng.uniform(0.2, 0.8, n), ucgstate=rng.integers(0, 2, n),
+        ucgvl=rng.normal(0, 0.3, n), ucgml=np.full(n, 5.0),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+    params_cs = cs.make_params(
+        ntypes=2, contacts=[(2, 2), (1, 2)], atomtypes_on=[2],
+        atomtypes_off=[1], probON=0.6, cutoff=1.5,
+        mol_seed=int(mtype.argmax() + 1), mol_offset=0, maxmol=n_mol,
+        dtype=jnp.float64)
+    cfg = SimConfig(dt=0.004, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=fs.UCGStateCfg(mode="ld"), reneigh_every=5)
+    system = System(n_atoms=n, ntypes=2, masses=np.array([0.0, 1.0, 1.0]))
+    nsteps = 15                              # events at steps 5 and 10
+
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell",
+                        capacity=192, cell_capacity=96)
+    sim1 = Simulation(system, state, pair_ucgld.compute, params, spec, cfg,
+                      cluster_switch=(params_cs, 5))
+    sim1.run(nsteps)
+
+    pen = spatial.make_pencil_spec(n, [L] * 3, rc, 0.4, 3, 3,
+                                   x=np.asarray(state.x))
+    pen = dataclasses.replace(
+        pen, nbr=dataclasses.replace(pen.nbr, capacity=192,
+                                     cell_capacity=96))
+    sim2 = spatial.SpatialSimulation(system, state, pair_ucgld.compute,
+                                     params, pen, cfg,
+                                     cluster_switch=(params_cs, 5))
+    sim2.run(nsteps)
+    assert sim2._migrations > 0
+
+    st2, _ = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    dx = np.asarray(sim1.state.box.min_image(
+        st2.x - jnp.asarray(np.asarray(sim1.state.x)[order])))
+    assert np.abs(dx).max() < 1e-10, "x"
+    t1 = np.asarray(sim1.state.typ)[order]
+    assert (t1 != typ[np.argsort(np.asarray(state.tag))]).sum() > 0, \
+        "no molecule ever flipped — test has no discriminating power"
+    np.testing.assert_array_equal(np.asarray(st2.typ), t1)
+    np.testing.assert_array_equal(np.asarray(sim2.cswitch_stats.v),
+                                  np.asarray(sim1.cswitch_stats.v))
+
+
 def test_pencil_requires_3_cuts_and_wide_pencils():
     with pytest.raises(ValueError, match="3 cuts"):
         spatial.make_pencil_spec(512, [30.0, 30.0, 30.0], 2.5, 0.4, 4, 2)
