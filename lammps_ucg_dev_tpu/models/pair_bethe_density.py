@@ -118,7 +118,16 @@ def compute(state: SimState, nbr: NeighborList,
     replaces ghost rows with the owner's values; it is applied to ρ after
     phase 1 (ghost densities computed locally see truncated neighborhoods)
     and to the CV force after phase 2 (ghost cv forces additionally embed
-    pair sums needing 2·rc of context).  None = single-domain (identity)."""
+    pair sums needing 2·rc of context).  None = single-domain (identity).
+
+    Precision note (measured, 8k fluid at ρ=0.6): the prior-force term
+    kT·log(p11/p01) is catastrophically ill-conditioned as p01 = pj1 − p11
+    → 0 (strongly correlated pairs) — in f32 THIS XLA PATH differs from
+    its own f64 run by up to ~80% of the force max on most rows; the
+    trajectory impact stays small because the term enters the CV force
+    through the small ∂p/∂ρ factor (cvf shifts ~0.7%).  Reference decks
+    that need strict P3 prior forces should run f64 (this path); the f32
+    fused kernel carries the same intrinsic envelope."""
     if xchg is None:
         xchg = lambda a: a
     x, typ = state.x, state.typ

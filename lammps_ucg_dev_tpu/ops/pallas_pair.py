@@ -1087,7 +1087,7 @@ def supports_density(params, n_atoms: int) -> bool:
 def compute_density(state: SimState, cl: colpack.ColumnList, params,
                     cheb: ChebBank, interpret: "bool | None" = None,
                     observe: bool = True, want_scores: bool = True,
-                    slot: bool = False) -> ForceOut:
+                    slot: bool = False, xchg=None) -> ForceOut:
     """Fused ``table_ucg_bethe_density`` (P3) evaluation: THREE window-kernel
     passes over the same column structure, mirroring the reference's
     three loops (pair_table_ucg_bethe_density.cpp:219-255, 528-658,
@@ -1141,6 +1141,13 @@ def compute_density(state: SimState, cl: colpack.ColumnList, params,
            jnp.take(out1, cl.atom_slot, axis=0, mode="clip"))
     rho = at1[:, 0]
     n_real = at1[:, 1]
+    if xchg is not None:
+        # phase-boundary halo exchange (the reference's forward_comm,
+        # pair_table_rleucg_interface.cpp:277-278): ghost rows need OWNER
+        # densities — a ghost rho computed locally sees only the rc-wide
+        # halo where it needs 2rc of context.  n_real stays local (it only
+        # feeds i-row one-body terms; ghost i-tallies are discarded).
+        rho = xchg(rho)
 
     prior, partial0 = pbd._priors(params, typ, rho)
     pi1_all = prior[:, 1].astype(dtype)
@@ -1182,6 +1189,8 @@ def compute_density(state: SimState, cl: colpack.ColumnList, params,
     partial = jnp.stack([partial0, -partial0], axis=-1)
     cvf_all = jnp.sum(pforce * partial, axis=-1).astype(dtype)
     cvf_all = jnp.where(use_den, cvf_all, 0.0)
+    if xchg is not None:
+        cvf_all = xchg(cvf_all)      # ghost CV weights from their owners
     ipack3, pages3 = _pack_dispatch(slot, cl, state.box, state.x, cvf_all,
                                     zeros_n, dtype, aux=cvf_all,
                                     typ=typ_col)
@@ -1210,22 +1219,24 @@ def compute_density(state: SimState, cl: colpack.ColumnList, params,
 
 
 def compute_style_density(state: SimState, cl: colpack.ColumnList,
-                          params) -> ForceOut:
-    """Simulation-compatible pair_compute for the fused P3 kernel."""
-    return compute_density(state, cl, params, params.cheb, interpret=None)
+                          params, xchg=None) -> ForceOut:
+    """Simulation-compatible pair_compute for the fused P3 kernel.
+    ``xchg``: phase-boundary halo exchange hook (spatial drivers)."""
+    return compute_density(state, cl, params, params.cheb, interpret=None,
+                           xchg=xchg)
 
 
 def compute_style_density_fast(state: SimState, cl: colpack.ColumnList,
-                               params) -> ForceOut:
+                               params, xchg=None) -> ForceOut:
     return compute_density(state, cl, params, params.cheb, observe=False,
-                           interpret=None)
+                           interpret=None, xchg=xchg)
 
 
 def compute_style_density_fast_noscores(state: SimState,
                                         cl: colpack.ColumnList,
-                                        params) -> ForceOut:
+                                        params, xchg=None) -> ForceOut:
     return compute_density(state, cl, params, params.cheb, observe=False,
-                           interpret=None, want_scores=False)
+                           interpret=None, want_scores=False, xchg=xchg)
 
 
 def compute_style_density_slot_fast(state: SimState,
@@ -1249,6 +1260,9 @@ compute_style_density.fast_variant_noscores = (
 compute_style_density.slot_fast = compute_style_density_slot_fast
 compute_style_density.slot_fast_noscores = (
     compute_style_density_slot_fast_noscores)
+compute_style_density.supports_halo_xchg = True
+compute_style_density_fast.supports_halo_xchg = True
+compute_style_density_fast_noscores.supports_halo_xchg = True
 
 
 def _rleucg_classes(params) -> tuple:
@@ -1283,7 +1297,8 @@ def supports_rleucg(params, n_atoms: int) -> bool:
 
 def compute_rleucg(state: SimState, cl: colpack.ColumnList, params,
                    cheb: ChebBank, interpret: "bool | None" = None,
-                   observe: bool = True, slot: bool = False) -> ForceOut:
+                   observe: bool = True, slot: bool = False,
+                   xchg=None) -> ForceOut:
     """Fused ``table_rleucg_interface`` (P4) evaluation: THREE window-kernel
     passes mirroring the reference's loops
     (pair_table_rleucg_interface.cpp:231-276, 321-441, 444-502):
@@ -1327,6 +1342,11 @@ def compute_rleucg(state: SimState, cl: colpack.ColumnList, params,
                           (rads, "mder"), interpret)[0]
     rho = (out1[:, 0] if slot else
            jnp.take(out1[:, 0], cl.atom_slot, mode="clip"))
+    if xchg is not None:
+        # phase-boundary forward comm of the density CV (see
+        # compute_density): ghost substate probabilities must come from
+        # owner densities, not truncated halo neighborhoods
+        rho = xchg(rho)
     probs_all, partial = pr4.substate_probs(params, typ, rho)
 
     act = params.actual_from_state[typ]
@@ -1365,6 +1385,8 @@ def compute_rleucg(state: SimState, cl: colpack.ColumnList, params,
 
     # ---- pass 3: CV back-force -------------------------------------------
     cvf_all = jnp.sum(pforce * partial, axis=-1).astype(dtype)
+    if xchg is not None:
+        cvf_all = xchg(cvf_all)      # ghost CV weights from their owners
     ipack3, pages3 = _pack_dispatch(slot, cl, state.box, state.x, cvf_all,
                                     zeros_n, dtype, aux=cvf_all,
                                     typ=typ_col)
@@ -1393,15 +1415,17 @@ def compute_rleucg(state: SimState, cl: colpack.ColumnList, params,
 
 
 def compute_style_rleucg(state: SimState, cl: colpack.ColumnList,
-                         params) -> ForceOut:
-    """Simulation-compatible pair_compute for the fused P4 kernel."""
-    return compute_rleucg(state, cl, params, params.cheb, interpret=None)
+                         params, xchg=None) -> ForceOut:
+    """Simulation-compatible pair_compute for the fused P4 kernel.
+    ``xchg``: phase-boundary halo exchange hook (spatial drivers)."""
+    return compute_rleucg(state, cl, params, params.cheb, interpret=None,
+                          xchg=xchg)
 
 
 def compute_style_rleucg_fast(state: SimState, cl: colpack.ColumnList,
-                              params) -> ForceOut:
+                              params, xchg=None) -> ForceOut:
     return compute_rleucg(state, cl, params, params.cheb, observe=False,
-                          interpret=None)
+                          interpret=None, xchg=xchg)
 
 
 def compute_style_rleucg_slot_fast(state: SimState,
@@ -1414,6 +1438,8 @@ def compute_style_rleucg_slot_fast(state: SimState,
 
 compute_style_rleucg.fast_variant = compute_style_rleucg_fast
 compute_style_rleucg.slot_fast = compute_style_rleucg_slot_fast
+compute_style_rleucg.supports_halo_xchg = True
+compute_style_rleucg_fast.supports_halo_xchg = True
 
 
 def make_compute(params: UCGLDParams, cheb: ChebBank, interpret: bool = False):

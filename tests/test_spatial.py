@@ -560,6 +560,105 @@ def test_pencil_kernel_path_matches():
                                rtol=1e-5)
 
 
+def test_spatial_kernel_density_style_matches():
+    """The fused P3 kernel on slabs: the kernel styles must accept the
+    phase-boundary xchg hook (ghost densities / CV weights from their
+    OWNERS).  Comparison note (measured, this configuration): P3's prior
+    force contains kT·log(p11/p01) with p01 = pj1 − p11 → 0 for strongly
+    correlated pairs, which is catastrophically ill-conditioned in f32 —
+    the single-chip XLA path itself differs from its own f64 run by up to
+    ~80% of the force scale on a dense fluid (the term is stiff in the
+    model; its trajectory impact is bounded by the small ∂p/∂ρ factor).
+    Tight f32 cross-decomposition equality is therefore impossible for
+    ANY correct implementation, so this test asserts the two things that
+    are well-posed:
+      (1) with the xchg bound, the slab kernel sits INSIDE the intrinsic
+          f32 conditioning envelope measured against the f64 XLA oracle;
+      (2) without it, the error blows out by >10× (the discriminating
+          structural signal: truncated ghost neighborhoods at faces)."""
+    import dataclasses as dc
+
+    import test_pair_density_styles as tds
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import neighbor as nbm
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+    n = 8192
+    rng = np.random.default_rng(7)
+    L = (n / RHO) ** (1 / 3)
+    x = _uniform_fluid(rng, n, L)
+    v = rng.normal(0, 0.9, (n, 3))
+    typ = np.where(rng.uniform(size=n) < 0.4, 1, 2).astype(np.int32)
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgstate = rng.integers(0, 2, n)
+    ucgp = rng.uniform(0.1, 0.9, n)
+    cfg = SimConfig(dt=0.004, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=None, ucgstate=None, reneigh_every=5)
+    system = System(n_atoms=n, ntypes=2, masses=np.array([0.0, 1.0, 1.0]))
+
+    def mk_state(dtype):
+        return SimState.create(
+            x=x, v=v, typ=typ, ucgl=ucgl, ucgstate=ucgstate, ucgp=ucgp,
+            ucgml=np.full(n, 5.0),
+            box=Box.create([0, 0, 0], [L, L, L], dtype=dtype), dtype=dtype)
+
+    def forces(sim):
+        f = sim.setup((0, 10))
+        order = np.argsort(np.asarray(sim.state.tag))
+        if hasattr(sim, "gather"):
+            st, f = sim.gather()
+            order = np.argsort(np.asarray(st.tag))
+        return np.asarray(f.f, np.float64)[order], float(f.pe)
+
+    # f64 XLA oracle + the intrinsic f32 conditioning envelope
+    st64, bank64, tp64 = tds._p3_build(tds.P3_SETTINGS, dtype=jnp.float64)
+    p64 = pair_bethe_density.make_params(bank64, tp64, 0.8,
+                                         dtype=jnp.float64)
+    spec64 = nbm.make_spec(n, [L] * 3, tds.RC, 0.4, method="cell")
+    f_oracle, pe_oracle = forces(Simulation(
+        system, mk_state(jnp.float64), pair_bethe_density.compute, p64,
+        spec64, cfg))
+
+    st32, bank32, tp32 = tds._p3_build(tds.P3_SETTINGS, dtype=jnp.float32)
+    p32 = pair_bethe_density.make_params(bank32, tp32, 0.8,
+                                         dtype=jnp.float32)
+    spec32 = nbm.make_spec(n, [L] * 3, tds.RC, 0.4, method="cell")
+    f_f32, _ = forces(Simulation(
+        system, mk_state(jnp.float32), pair_bethe_density.compute, p32,
+        spec32, cfg))
+    envelope = np.abs(f_f32 - f_oracle).max()
+
+    # single-chip kernel (the same arithmetic the slab legs run — the
+    # conditioning roundings largely cancel in kernel-vs-kernel diffs)
+    pk32 = dc.replace(p32, cheb=chebtab.fit_bank(bank32), chunk=0)
+    assert pk.supports_density(pk32, n)
+    spec_k = colpack.measure_spec(x, [L] * 3, tds.RC, 0.4)
+    f_k1, _ = forces(Simulation(
+        system, mk_state(jnp.float32), pk.compute_style_density, pk32,
+        spec_k, cfg))
+
+    # slab P3 kernel with the xchg hook (production composition)
+    slab = spatial.make_column_slab_spec(n, [L] * 3, tds.RC, 0.4, 6, x=x)
+    f_slab, pe_slab = forces(spatial.SpatialSimulation(
+        system, mk_state(jnp.float32), pk.compute_style_density, pk32,
+        slab, cfg))
+    err_slab = np.abs(f_slab - f_oracle).max()
+    assert err_slab < 1.5 * envelope + 1e-3, (err_slab, envelope)
+    np.testing.assert_allclose(pe_slab, pe_oracle, rtol=1e-4)
+
+    # discriminating signal: strip the hook and faces blow out in the
+    # conditioning-free kernel-vs-kernel comparison
+    def style_noxchg(s, cl, p):
+        return pk.compute_density(s, cl, p, p.cheb, interpret=None)
+
+    f_nox, _ = forces(spatial.SpatialSimulation(
+        system, mk_state(jnp.float32), style_noxchg, pk32, slab, cfg))
+    d_with = np.abs(f_slab - f_k1).max()
+    d_without = np.abs(f_nox - f_k1).max()
+    assert d_with < 0.1 * d_without, (d_with, d_without)
+
+
 def test_pencil_cluster_switch_matches_unsharded():
     """fix cluster_switch on the 2-D pencil mesh: label propagation pmins
     over BOTH mesh axes (the tuple-axis form of the reference's
