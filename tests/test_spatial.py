@@ -659,6 +659,74 @@ def test_spatial_kernel_density_style_matches():
     assert d_with < 0.1 * d_without, (d_with, d_without)
 
 
+def test_spatial_kernel_rleucg_style_matches():
+    """The fused P4 kernel on slabs with the xchg hook (config-5 shape:
+    rleucg_interface under the scalable path).  P4's prior force has no
+    log-RATIO cancellation (logs of sigmoid probs only), so the f32
+    envelope is mild and a direct slab-vs-single kernel comparison is
+    well-posed; the no-xchg leg is the discriminating control."""
+    import dataclasses as dc
+
+    import test_pair_density_styles as tds
+    from lammps_ucg_dev_tpu.models import pair_rleucg
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+    n = 8192
+    rng = np.random.default_rng(9)
+    L = (n / RHO) ** (1 / 3)
+    x = _uniform_fluid(rng, n, L)
+    v = rng.normal(0, 0.9, (n, 3))
+    typ = np.where(rng.uniform(size=n) < 0.7, 1, 3).astype(np.int32)
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgstate = rng.integers(0, 2, n)
+    st4, b4 = tds._p4_build(dtype=jnp.float32)
+    params = pair_rleucg.make_params(b4, st4, 0.8, dtype=jnp.float32)
+    assert pk.supports_rleucg(params, n)
+    params = dc.replace(params, cheb=chebtab.fit_bank(params.bank),
+                        chunk=0)
+    cfg = SimConfig(dt=0.004, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=None, ucgstate=None, reneigh_every=5)
+    system = System(n_atoms=n, ntypes=3,
+                    masses=np.array([0.0, 1.0, 1.0, 1.0]))
+
+    def mk_state():
+        return SimState.create(
+            x=x, v=v, typ=typ, ucgl=ucgl, ucgstate=ucgstate,
+            ucgml=np.full(n, 5.0),
+            box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float32),
+            dtype=jnp.float32)
+
+    def forces(sim):
+        f = sim.setup((0, 10))
+        order = np.argsort(np.asarray(sim.state.tag))
+        if hasattr(sim, "gather"):
+            st, f = sim.gather()
+            order = np.argsort(np.asarray(st.tag))
+        return np.asarray(f.f, np.float64)[order], float(f.pe)
+
+    spec_k = colpack.measure_spec(x, [L] * 3, tds.RC, 0.4)
+    f_k1, pe_k1 = forces(Simulation(
+        system, mk_state(), pk.compute_style_rleucg, params, spec_k, cfg))
+    scale = np.abs(f_k1).max()
+
+    slab = spatial.make_column_slab_spec(n, [L] * 3, tds.RC, 0.4, 6, x=x)
+    f_slab, pe_slab = forces(spatial.SpatialSimulation(
+        system, mk_state(), pk.compute_style_rleucg, params, slab, cfg))
+    d_with = np.abs(f_slab - f_k1).max()
+    assert d_with < 1e-3 * scale, (d_with, scale)
+    np.testing.assert_allclose(pe_slab, pe_k1, rtol=1e-4)
+
+    def style_noxchg(s, cl, p):
+        return pk.compute_rleucg(s, cl, p, p.cheb, interpret=None)
+
+    f_nox, _ = forces(spatial.SpatialSimulation(
+        system, mk_state(), style_noxchg, params, slab, cfg))
+    d_without = np.abs(f_nox - f_k1).max()
+    assert d_without > 10.0 * max(d_with, 1e-9), (d_without, d_with)
+
+
 def test_pencil_cluster_switch_matches_unsharded():
     """fix cluster_switch on the 2-D pencil mesh: label propagation pmins
     over BOTH mesh axes (the tuple-axis form of the reference's
