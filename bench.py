@@ -267,16 +267,37 @@ def _wait_backend(max_wait_s: int = 1800) -> bool:
     return False
 
 
-def _sub(cmd_args: list, timeout: int):
+def _sub(cmd_args: list, timeout: int, env: "dict | None" = None):
     try:
         out = subprocess.run([sys.executable, __file__] + cmd_args,
-                             capture_output=True, text=True, timeout=timeout)
+                             capture_output=True, text=True, timeout=timeout,
+                             env=env)
         for line in out.stdout.strip().splitlines()[::-1]:
             if line.startswith("{"):
                 return json.loads(line)
     except Exception:
         pass
     return None
+
+
+def _cpu_fallback(steps: int, chunk: int):
+    """Last-resort leg when the axon TPU worker is down for the whole bench
+    window (multi-hour outages observed): run the XLA path on the CPU
+    backend at a reduced size so the JSON line carries a real measurement
+    with honest metadata instead of value 0."""
+    import os
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""         # don't claim the (dead) chip
+    env["JAX_PLATFORMS"] = "cpu"
+    r = _sub(["--main-only", "--n", "16384", "--steps", str(steps),
+              "--chunk", str(chunk)], timeout=3600, env=env)
+    if r is not None:
+        r["fallback_note"] = (
+            "axon TPU worker unavailable for the entire bench window; this "
+            "row is the XLA path on the CPU BACKEND at 16k (not a TPU "
+            "number) — see BENCH history for real-chip runs")
+    return r
 
 
 def main():
@@ -322,6 +343,8 @@ def main():
             if result is None:
                 time.sleep(60)      # let the TPU worker recover
                 size //= 2
+        if result is None:
+            result = _cpu_fallback(args.steps, args.chunk)
         if result is None:
             print(json.dumps({"metric": "bench failed at all sizes",
                               "value": 0.0, "unit": "steps/s",
