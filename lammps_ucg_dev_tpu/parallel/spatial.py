@@ -805,6 +805,57 @@ class SpatialSimulation(Simulation):
                 sim_s = put(sim_s, ru, hval_u, y_base + cap_hy, cap_hy)
             return sim_s
 
+        def refresh_slots(sim_s):
+            """Per-step halo refresh with state RESIDENT in column-slot
+            order (the slab analogue of the single-chip slot-major
+            interior): sources gather at the slot positions of the owned
+            near-face rows, received values scatter into the ghost rows'
+            slot positions.  Same staged x(→y) protocol as refresh()."""
+            asl = nbr.atom_slot
+            nsl = sim_s.x.shape[0]
+
+            def feats(sim_s):
+                return jnp.stack([sim_s.x[:, 0], sim_s.x[:, 1],
+                                  sim_s.x[:, 2], sim_s.ucgl,
+                                  sim_s.ucgstate.astype(dt_), sim_s.ucgp],
+                                 axis=1)
+
+            def put(sim_s, recv, hval, base, cap):
+                dst = jnp.where(hval, asl[base:base + cap], nsl)
+                upd = {"x": sim_s.x.at[dst].set(recv[:, 0:3], mode="drop")}
+                for name, col, cast in (("ucgl", 3, dt_),
+                                        ("ucgstate", 4, jnp.int32),
+                                        ("ucgp", 5, dt_)):
+                    new = recv[:, col]
+                    new = (jnp.round(new).astype(jnp.int32)
+                           if cast == jnp.int32 else new.astype(dt_))
+                    upd[name] = getattr(sim_s, name).at[dst].set(
+                        new, mode="drop")
+                return dataclasses.replace(sim_s, **upd)
+
+            dyn = feats(sim_s)
+            rl = jax.lax.ppermute(
+                jnp.take(dyn, jnp.take(asl, src_r), axis=0), axis, perm_r)
+            rr = jax.lax.ppermute(
+                jnp.take(dyn, jnp.take(asl, src_l), axis=0), axis, perm_l)
+            rl = rl.at[:, 0].add(shift_l)
+            rr = rr.at[:, 0].add(shift_r)
+            sim_s = put(sim_s, rl, hval_l, cap_local, cap_halo)
+            sim_s = put(sim_s, rr, hval_r, cap_local + cap_halo, cap_halo)
+            if two_d:
+                dyn2 = feats(sim_s)
+                rd = jax.lax.ppermute(
+                    jnp.take(dyn2, jnp.take(asl, src_u), axis=0),
+                    axis_y, perm_u)
+                ru = jax.lax.ppermute(
+                    jnp.take(dyn2, jnp.take(asl, src_d), axis=0),
+                    axis_y, perm_d)
+                rd = rd.at[:, 1].add(shift_d)
+                ru = ru.at[:, 1].add(shift_u)
+                sim_s = put(sim_s, rd, hval_d, y_base, cap_hy)
+                sim_s = put(sim_s, ru, hval_u, y_base + cap_hy, cap_hy)
+            return sim_s
+
         def clean(fout):
             # table-OOB counters are not carried across spatial blocks
             # (ForceOut optionals would break the scan carry structure), and
@@ -895,7 +946,50 @@ class SpatialSimulation(Simulation):
                               None)
                 if nos is not None:
                     fast_fn, fast_scores = nos, False
-            if fast_fn is not None and nsteps > 1:
+            # slot-major interior (single-chip _slot_interior analogue):
+            # state lives in column-slot order for the nsteps-1 interior
+            # steps — the per-step atom→slot pack gather and out-take
+            # vanish; the halo refresh gathers/scatters at slot positions.
+            # Styles with a phase-boundary xchg (P3/P4) stay atom-ordered
+            # (their derived-quantity exchange is row-indexed), as does the
+            # cluster_switch event block.
+            use_slot = (self._slot_ok and nsteps > 1 and cswitch is None
+                        and not getattr(self.pair_compute,
+                                        "supports_halo_xchg", False))
+            if use_slot:
+                slot_fn = self.pair_compute.slot_fast
+                slot_scores = True
+                if self._scores_inert:
+                    nos_s = getattr(self.pair_compute,
+                                    "slot_fast_noscores", None)
+                    if nos_s is not None:
+                        slot_fn, slot_scores = nos_s, False
+
+                def slot_body(carry, _):
+                    ss, fout = carry
+                    mass_s = self._masses_by_type.astype(dt_)[ss.typ]
+                    ss = fi.initial_integrate(
+                        ss, fout.f, fout.ucgforce, mass_s, self.cfg.dt,
+                        self.cfg.u.ftm2v, self.cfg.integrator)
+                    ss = refresh_slots(ss)
+                    ss, fout = self._forces(ss, nbr, run_window,
+                                            pair_params=params,
+                                            pair_fn=slot_fn,
+                                            scores_valid=slot_scores)
+                    fout = dataclasses.replace(fout, oob_low=None,
+                                               oob_high=None, ucgp=None)
+                    ss = fi.final_integrate(
+                        ss, fout.f, fout.ucgforce, mass_s, self.cfg.dt,
+                        self.cfg.u.ftm2v, self.cfg.integrator)
+                    ss = dataclasses.replace(ss, step=ss.step + 1)
+                    return (ss, fout), None
+
+                ss0, sf0 = self._to_slots(sim0, fout0, nbr)
+                (ss1, sf1), _ = jax.lax.scan(slot_body, (ss0, sf0), None,
+                                             length=nsteps - 1)
+                sim1, fout1 = self._from_slots(sim0, ss1, sf1, nbr)
+                (sim1, fout1), _ = make_body(None)((sim1, fout1), None)
+            elif fast_fn is not None and nsteps > 1:
                 (sim1, fout1), _ = jax.lax.scan(
                     make_body(fast_fn, scores_valid=fast_scores),
                     (sim0, fout0), None, length=nsteps - 1)

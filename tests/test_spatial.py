@@ -405,6 +405,10 @@ def test_spatial_kernel_path_matches_32k():
     slab = spatial.make_column_slab_spec(n, [L] * 3, rc, 0.4, 8, x=x)
     sim2 = spatial.SpatialSimulation(system, mk_state(jnp.float32),
                                      pk.compute_style, params, slab, cfg)
+    # the slot-major interior must be active on this path (f32 + column
+    # kernel + no xchg style + no cswitch)
+    assert sim2._slot_ok and not getattr(sim2.pair_compute,
+                                         "supports_halo_xchg", False)
     sim2.setup(window)
     sim2.run_fused(nblocks, run_window=window)
     assert sim2._migrations > 0, "no atom crossed a slab boundary"
@@ -542,6 +546,7 @@ def test_pencil_kernel_path_matches():
     assert not pen.nbr.periodic_x and not pen.nbr.periodic_y
     sim2 = spatial.SpatialSimulation(system, mk_state(), pk.compute_style,
                                      params, pen, cfg)
+    assert sim2._slot_ok          # slot-major interior active on pencils
     sim2.setup(window)
     sim2.run_fused(nblocks, run_window=window)
     assert sim2._migrations > 0
