@@ -664,6 +664,74 @@ def test_spatial_kernel_density_style_matches():
     assert d_with < 0.1 * d_without, (d_with, d_without)
 
 
+def test_spatial_kernel_bethe_style_matches():
+    """The fused Bethe kernel on slabs with the slot-major interior in its
+    WITH-SCORES form (ucgstate default mode: the posterior feeds back into
+    the per-step state, so ucgp must ride the slot-space halo refresh):
+    6-slab kernel trajectory == unsharded kernel trajectory at f32."""
+    import dataclasses as dc
+
+    from lammps_ucg_dev_tpu.models import pair_bethe
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+    n, nblocks = 8192, 2
+    rng = np.random.default_rng(5)
+    L = (n / RHO) ** (1 / 3)
+    x = _uniform_fluid(rng, n, L)
+    v = rng.normal(0, 0.9, (n, 3))
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgstate = rng.integers(0, 2, n)
+    ucgp = rng.uniform(0.1, 0.9, n)
+    _, bank32, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+
+    def mk_state():
+        return SimState.create(
+            x=x, v=v, typ=np.ones(n, np.int32), ucgl=ucgl,
+            ucgstate=ucgstate, ucgp=ucgp, ucgml=np.full(n, 5.0),
+            box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float32),
+            dtype=jnp.float32)
+
+    cfg = SimConfig(dt=0.004, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=None, ucgstate=fs.UCGStateCfg(mode="default"),
+                    reneigh_every=5)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    window = (0, nblocks * cfg.reneigh_every)
+
+    params = pair_bethe.make_params(bank32, tp, kT=0.8, dtype=jnp.float32)
+    assert pk.supports_bethe(params, n)
+    params = dc.replace(params, cheb=chebtab.fit_bank(bank32), chunk=0)
+
+    spec1 = colpack.measure_spec(x, [L] * 3, rc, 0.4)
+    sim1 = Simulation(system, mk_state(), pk.compute_style_bethe, params,
+                      spec1, cfg)
+    assert sim1._slot_ok and not sim1._scores_inert
+    sim1.setup(window)
+    sim1.run_fused(nblocks, run_window=window)
+
+    slab = spatial.make_column_slab_spec(n, [L] * 3, rc, 0.4, 6, x=x)
+    sim2 = spatial.SpatialSimulation(system, mk_state(),
+                                     pk.compute_style_bethe, params, slab,
+                                     cfg)
+    assert sim2._slot_ok and not sim2._scores_inert
+    sim2.setup(window)
+    sim2.run_fused(nblocks, run_window=window)
+    assert sim2._migrations > 0
+
+    st2, fout2 = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    dx = np.asarray(sim1.state.box.min_image(
+        st2.x - jnp.asarray(np.asarray(sim1.state.x)[order])))
+    assert np.abs(dx).max() < 1e-4, "x (slab bethe kernel vs unsharded)"
+    for name, tol in (("v", 1e-5), ("ucgp", 1e-4)):
+        a = np.asarray(getattr(sim1.state, name))[order]
+        b = np.asarray(getattr(st2, name))
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=name)
+    np.testing.assert_allclose(float(fout2.pe), float(sim1._fcarry.pe),
+                               rtol=1e-5)
+
+
 def test_spatial_kernel_rleucg_style_matches():
     """The fused P4 kernel on slabs with the xchg hook (config-5 shape:
     rleucg_interface under the scalable path).  P4's prior force has no
