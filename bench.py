@@ -97,7 +97,8 @@ def run_main(n: int, steps: int, chunk: int) -> dict:
     }
 
 
-def run_phases(n: int, reps: int = 30) -> dict:
+def run_phases(n: int, reps: int = 30, skin: float = 0.4,
+               reneigh: int = 20) -> dict:
     """Phase breakdown on device: pair-force eval alone (fast + full kernel
     variants), candidate pack alone, neighbor/column build, and a full MD
     step — the Timer-style observability the reference gets from stock
@@ -112,7 +113,7 @@ def run_phases(n: int, reps: int = 30) -> dict:
     from __graft_entry__ import _build_sim
     from lammps_ucg_dev_tpu.ops import colpack
 
-    sim = _build_sim(n=n, reneigh_every=20)
+    sim = _build_sim(n=n, reneigh_every=reneigh, skin=skin)
     sim.setup((0, 1000))
     state = sim.state
     nbr = sim._nbr_build(state)
@@ -313,6 +314,10 @@ def main():
     ap.add_argument("--drift-only", action="store_true")
     ap.add_argument("--phases", action="store_true",
                     help="per-phase timing breakdown + VPU bound analysis")
+    ap.add_argument("--skin", type=float, default=0.4,
+                    help="Verlet skin (phases mode only)")
+    ap.add_argument("--reneigh", type=int, default=20,
+                    help="reneighbor cadence (phases mode only)")
     args = ap.parse_args()
 
     n = 4096 if args.quick else args.n
@@ -324,7 +329,7 @@ def main():
         print(json.dumps(run_drift(n)))
         return
     if args.phases:
-        print(json.dumps(run_phases(n)))
+        print(json.dumps(run_phases(n, skin=args.skin, reneigh=args.reneigh)))
         return
 
     if args.quick:

@@ -345,3 +345,89 @@ def write_molecular_switch_deck(outdir: str, nmol: int = 64, rho: float = 0.1,
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     return path
+
+
+def write_molecular_ucgld_deck(outdir: str, nmol: int = 256,
+                               rho: float = 0.3, rc: float = 2.5,
+                               eps=(1.0, 0.6, 0.6, 0.25), mu=(0.0, 0.3),
+                               lam_mass: float = 5.0, T: float = 0.8,
+                               nsteps: int = 200, dt: float = 0.002,
+                               thermo_every: int = 50, seed: int = 31,
+                               tablength: int = 2000,
+                               bond_r0: float = 0.9, bond_k: float = 50.0,
+                               angle_k: float = 10.0) -> str:
+    """Molecular UCG-LD deck: bent trimers of ONE 2-state UCG type under
+    λ-dynamics, harmonic bonds + angles, and the LAMMPS-default
+    ``special_bonds`` exclusion of 1-2/1-3 pairs.  On TPU this deck
+    auto-selects the fused column kernel WITH the bonded/exclusion
+    composition (additive bonded terms + excl_delta subtraction,
+    ops/kernel_select.py) — the configuration the reference runs as
+    `atom_style ucg` molecular systems (atom_vec_ucg.cpp:33-96, bonded
+    styles via stock LAMMPS; special culling via the neighbor list)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = 3 * nmol
+    L = (n / rho) ** (1 / 3)
+    centers = lattice_positions(nmol, L, jitter=0.1, seed=seed)
+    u1 = rng.normal(size=(nmol, 3))
+    u1 /= np.linalg.norm(u1, axis=1, keepdims=True)
+    p = rng.normal(size=(nmol, 3))
+    p -= np.sum(p * u1, axis=1, keepdims=True) * u1
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    th = np.deg2rad(120.0)
+    u2 = np.cos(th) * u1 + np.sin(th) * p
+    x = np.concatenate([centers + bond_r0 * u1, centers,
+                        centers + bond_r0 * u2], axis=1).reshape(-1, 3) % L
+
+    write_table_file(os.path.join(outdir, "ucg.table"), {
+        "UCG_00": soft_table(eps[0], rc), "UCG_01": soft_table(eps[1], rc),
+        "UCG_10": soft_table(eps[2], rc), "UCG_11": soft_table(eps[3], rc),
+    })
+    with open(os.path.join(outdir, "ucg.settings"), "w") as fh:
+        fh.write("1 2 2\n1 2\n1 2\n%g %g\n" % mu)
+
+    with open(os.path.join(outdir, "system.data"), "w") as fh:
+        fh.write("UCG-LD trimers\n\n")
+        fh.write(f"{n} atoms\n{2 * nmol} bonds\n{nmol} angles\n"
+                 "1 atom types\n1 bond types\n1 angle types\n\n")
+        fh.write(f"0 {L:.10g} xlo xhi\n0 {L:.10g} ylo yhi\n"
+                 f"0 {L:.10g} zlo zhi\n\n")
+        fh.write("Masses\n\n1 1.0\n\nAtoms # ucg\n\n")
+        lam0 = rng.uniform(0.2, 0.8, n)
+        st0 = (lam0 > 0.5).astype(int)
+        for k in range(n):
+            fh.write(f"{k + 1} {k // 3 + 1} 1 0.0 {x[k, 0]:.10g} "
+                     f"{x[k, 1]:.10g} {x[k, 2]:.10g} {st0[k]} "
+                     f"{lam0[k]:.6f} {lam_mass}\n")
+        fh.write("\nBonds\n\n")
+        b = 1
+        for m in range(nmol):
+            a1 = 3 * m + 1
+            fh.write(f"{b} 1 {a1} {a1 + 1}\n"); b += 1
+            fh.write(f"{b} 1 {a1 + 1} {a1 + 2}\n"); b += 1
+        fh.write("\nAngles\n\n")
+        for m in range(nmol):
+            a1 = 3 * m + 1
+            fh.write(f"{m + 1} 1 {a1} {a1 + 1} {a1 + 2}\n")
+
+    lines = [
+        "# molecular 2-state UCG-LD trimers (bonded + exclusion + kernel)",
+        "units lj", "atom_style ucg", "read_data system.data",
+        f"pair_style table_ucgld linear {tablength} ucg.settings",
+        "pair_coeff 1 1 2 2 "
+        f"ucg.table UCG_00 {rc} ucg.table UCG_01 {rc} "
+        f"ucg.table UCG_10 {rc} ucg.table UCG_11 {rc}",
+        "bond_style harmonic", f"bond_coeff 1 {bond_k} {bond_r0}",
+        "angle_style harmonic", f"angle_coeff 1 {angle_k} 120.0",
+        "special_bonds lj 0 0 0",
+        "neighbor 0.4 bin", "neigh_modify every 5",
+        f"timestep {dt}", f"velocity all create {T} {seed + 1}",
+        "fix 1 all nve/ucgld/wall/hard",
+        f"fix 2 all ucgld/langevin {T} {T} 0.5 {seed + 2}",
+        "fix 3 all ucgstate ld",
+        f"thermo {thermo_every}", f"run {nsteps}",
+    ]
+    path = os.path.join(outdir, "in.molecular_ucgld")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path

@@ -104,6 +104,7 @@ class ScriptRunner:
         self.reneigh_check = True
         self.respa_inner = 1
         self.neighbor_method: str | None = None
+        self.neighbor_one: int | None = None
         self.processors: "tuple | None" = None   # (px, py) device grid
         self.pair: _PendingPair | None = None
         self.bond_style: str | None = None
@@ -314,6 +315,12 @@ class ScriptRunner:
                 # displacement check demands it (the default); check no:
                 # rebuild every block unconditionally
                 self.reneigh_check = a[i + 1] == "yes"
+                i += 2
+            elif a[i] == "one":
+                # neigh_modify one N — per-atom neighbor capacity, the
+                # knob for locally-dense configurations (bonded molecules)
+                # whose coordination exceeds the mean-density estimate
+                self.neighbor_one = int(a[i + 1])
                 i += 2
             elif a[i] in ("delay", "once", "page"):
                 # rebuild candidacy is at block cadence (jit-friendly);
@@ -685,18 +692,27 @@ class ScriptRunner:
         spec = None
         sel = None
         # production fused-kernel path on TPU (ops/kernel_select.py); decks
-        # need no opt-in — the XLA path remains the fallback.  Single-chip
+        # need no opt-in — the XLA path remains the fallback.
         # cluster_switch composes with the kernel (the event builds its own
-        # contact list); the spatial drivers still need the atom path there.
-        if bparams is None and excl is None and (self.cswitch is None
-                                                 or not multi):
+        # contact list — single-chip and under the spatial drivers), as do
+        # bonded terms (additive; replicated topology + per-block row maps
+        # under the spatial drivers) and special exclusions (computed-and-
+        # subtracted via the style's excl_delta — table_ucgld /
+        # table_ucg_bethe).
+        topo = bparams is not None or excl is not None
+        if self.cswitch is None or not multi:
             from lammps_ucg_dev_tpu.ops.kernel_select import select_pair_kernel
 
             sel = select_pair_kernel(pair_params, self.state, cutoff,
                                      self.skin, multichip=multi)
+            if (sel is not None and excl is not None
+                    and getattr(sel[0], "excl_delta", None) is None):
+                sel = None          # style can't cancel exclusions
             if sel is not None:
                 pair_compute, spec, pair_params = sel
-                self.log("pair path: fused Pallas column kernel")
+                self.log("pair path: fused Pallas column kernel"
+                         + (" (+ bonded/exclusion composition)" if topo
+                            else ""))
         dt = self.dt if self.dt is not None else u.dt_default
         cfg = SimConfig(
             dt=dt, units=self.units, integrator=self.integrator,
@@ -713,15 +729,16 @@ class ScriptRunner:
             return
         if spec is None:
             spec = nbrmod.make_spec(n, L, cutoff, self.skin,
-                                    method=self.neighbor_method)
+                                    method=self.neighbor_method,
+                                    capacity=self.neighbor_one)
         self.sim = Simulation(system, self.state, pair_compute, pair_params,
                               spec, cfg, cluster_switch=self.cswitch,
                               log_dir=self.workdir if self.cswitch else None,
                               bonded=bparams, excl_tags=excl)
         if multi:
-            # bonded topology / triclinic boxes don't ride the spatial
-            # halos: the GSPMD atom decomposition is the general multi-chip
-            # fallback (replicated-gather comm, bit-exact vs single device)
+            # triclinic boxes / rRESPA don't ride the spatial halos: the
+            # GSPMD atom decomposition is the general multi-chip fallback
+            # (replicated-gather comm, bit-exact vs single device)
             from lammps_ucg_dev_tpu.parallel import domain
 
             domain.distribute(self.sim, domain.make_mesh(px * py))
@@ -732,27 +749,40 @@ class ScriptRunner:
                           cutoff, n, L, px, py, kernel: bool,
                           bparams, excl) -> bool:
         """Build the spatial (slab/pencil) driver for a ``processors``
-        deck, or return False for the GSPMD fallback (bonded/triclinic)."""
-        if bparams is not None or excl is not None:
-            return False
+        deck, or return False for the GSPMD fallback (triclinic/rRESPA)."""
         if getattr(self.state.box, "is_triclinic", False):
+            return False
+        if cfg.respa_inner != 1:
             return False
         from lammps_ucg_dev_tpu.parallel import spatial
 
         lo = np.asarray(self.state.box.lo)
         x = np.asarray(self.state.box.wrap(self.state.x)) - lo[None, :]
-        if py == 1:
-            mk = (spatial.make_column_slab_spec if kernel
-                  else spatial.make_slab_spec)
-            slab = mk(n, L, cutoff, self.skin, px, x=x)
-        else:
-            mk = (spatial.make_column_pencil_spec if kernel
-                  else spatial.make_pencil_spec)
-            slab = mk(n, L, cutoff, self.skin, px, py, x=x)
+        try:
+            caps = ({} if self.neighbor_one is None
+                    else {"nbr_capacity": self.neighbor_one})
+            if py == 1:
+                mk = (spatial.make_column_slab_spec if kernel
+                      else spatial.make_slab_spec)
+                slab = mk(n, L, cutoff, self.skin, px, x=x, **caps)
+            else:
+                mk = (spatial.make_column_pencil_spec if kernel
+                      else spatial.make_pencil_spec)
+                slab = mk(n, L, cutoff, self.skin, px, py, x=x, **caps)
+        except ValueError as e:
+            # infeasible decomposition geometry (box too small for the cut
+            # count / subdomain width < cutoff+skin / column spans exceed
+            # the kernel's page stride): the GSPMD atom decomposition is
+            # the general fallback, like LAMMPS falling back from a user
+            # processor grid it cannot honor
+            self.log(f"spatial decomposition infeasible ({e}); "
+                     "falling back to GSPMD")
+            return False
         self.sim = spatial.SpatialSimulation(
             system, self.state, pair_compute, pair_params, slab, cfg,
             cluster_switch=self.cswitch,
-            log_dir=self.workdir if self.cswitch else None)
+            log_dir=self.workdir if self.cswitch else None,
+            bonded=bparams, excl_tags=excl)
         kind = "slab" if py == 1 else "pencil"
         self.log(f"multi-chip: spatial {kind} decomposition {px}x{py} "
                  f"(shard_map + ppermute halos)")

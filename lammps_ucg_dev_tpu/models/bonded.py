@@ -103,18 +103,25 @@ def compute(state: SimState, params: BondedParams):
     pe = jnp.zeros((), dt_)
     vir = jnp.zeros((6,), dt_)
     inv = _tag_rows(state)
+    # coefficients cast to the STATE dtype: params may have been built at a
+    # different precision (e.g. f64 params driving an f32 kernel run), and
+    # promotion would silently widen pe/virial
+    bond_k = params.bond_k.astype(dt_)
+    bond_r0 = params.bond_r0.astype(dt_)
+    angle_k = params.angle_k.astype(dt_)
+    angle_t0 = params.angle_t0.astype(dt_)
 
     if params.n_bonds:
         i = inv[params.bond_tags[:, 0] - 1]
         j = inv[params.bond_tags[:, 1] - 1]
         d = box.min_image(x[i] - x[j])
         r = jnp.sqrt(jnp.sum(d * d, axis=1))
-        dr = r - params.bond_r0
+        dr = r - bond_r0
         # bond_harmonic.cpp: fbond = -2 K dr / r; f[i] += fbond*d
-        fbond = jnp.where(r > 0, -2.0 * params.bond_k * dr / r, 0.0)
+        fbond = jnp.where(r > 0, -2.0 * bond_k * dr / r, 0.0)
         fb = fbond[:, None] * d
         f = f.at[i].add(fb).at[j].add(-fb)
-        pe = pe + jnp.sum(params.bond_k * dr * dr)
+        pe = pe + jnp.sum(bond_k * dr * dr)
         vir = vir + _vtally(fbond, d)
 
     if params.n_angles:
@@ -128,15 +135,15 @@ def compute(state: SimState, params: BondedParams):
         c = jnp.sum(d1 * d2, axis=1) / (r1 * r2)
         c = jnp.clip(c, -1.0, 1.0)
         s = jnp.maximum(jnp.sqrt(1.0 - c * c), 1e-8)   # angle_harmonic SMALL
-        dtheta = jnp.arccos(c) - params.angle_t0
-        a = -2.0 * params.angle_k * dtheta / s
+        dtheta = jnp.arccos(c) - angle_t0
+        a = -2.0 * angle_k * dtheta / s
         a11 = a * c / (r1 * r1)
         a12 = -a / (r1 * r2)
         a22 = a * c / (r2 * r2)
         f1 = a11[:, None] * d1 + a12[:, None] * d2
         f3 = a22[:, None] * d2 + a12[:, None] * d1
         f = f.at[i1].add(f1).at[i3].add(f3).at[i2].add(-(f1 + f3))
-        pe = pe + jnp.sum(params.angle_k * dtheta * dtheta)
+        pe = pe + jnp.sum(angle_k * dtheta * dtheta)
         vir = vir + jnp.stack([
             jnp.sum(d1[:, 0] * f1[:, 0] + d2[:, 0] * f3[:, 0]),
             jnp.sum(d1[:, 1] * f1[:, 1] + d2[:, 1] * f3[:, 1]),
@@ -144,6 +151,93 @@ def compute(state: SimState, params: BondedParams):
             jnp.sum(d1[:, 0] * f1[:, 1] + d2[:, 0] * f3[:, 1]),
             jnp.sum(d1[:, 0] * f1[:, 2] + d2[:, 0] * f3[:, 2]),
             jnp.sum(d1[:, 1] * f1[:, 2] + d2[:, 1] * f3[:, 2]),
+        ]).astype(dt_)
+
+    return f, pe, vir
+
+
+def compute_spatial(state: SimState, params: BondedParams, rows, nloc):
+    """Per-device bonded terms under the spatial (slab/pencil) drivers.
+
+    Topology is REPLICATED (bond/angle tag tables are static arrays on
+    every device — the TPU-native replacement for the reference's
+    per-atom bond storage riding exchange comm, atom_vec_ucg.cpp:76-96);
+    ``rows`` are this device's local row indices per term member,
+    precomputed once per reneighbor block from the tag→row map
+    (parallel/spatial.py), with sentinel = n_rows for members not present
+    on this device.  Every member of an in-cutoff-visible term is present
+    locally wherever one member is owned (bond lengths < halo width; the
+    driver flags violations as overflow).
+
+    Per-atom-owned tallies, the same newton-off bookkeeping as the pair
+    path: each OWNED member accumulates only its own force share, and
+    pe/virial are tallied fractionally (1/2 per owned bond member, 1/3
+    per owned angle member) so the cross-device psum counts each term
+    exactly once."""
+    x, box = state.x, state.box
+    n = x.shape[0]
+    dt_ = x.dtype
+    b_i, b_j, a_1, a_2, a_3 = rows
+    f = jnp.zeros((n, 3), dt_)
+    pe = jnp.zeros((), dt_)
+    vir = jnp.zeros((6,), dt_)
+    # coefficients cast to the STATE dtype (see compute())
+    bond_k = params.bond_k.astype(dt_)
+    bond_r0 = params.bond_r0.astype(dt_)
+    angle_k = params.angle_k.astype(dt_)
+    angle_t0 = params.angle_t0.astype(dt_)
+
+    if params.n_bonds:
+        pres = (b_i < n) & (b_j < n)
+        wi = (pres & (b_i < nloc)).astype(dt_)
+        wj = (pres & (b_j < nloc)).astype(dt_)
+        ic = jnp.minimum(b_i, n - 1)
+        jc = jnp.minimum(b_j, n - 1)
+        d = box.min_image(x[ic] - x[jc])
+        r = jnp.sqrt(jnp.sum(d * d, axis=1))
+        dr = r - bond_r0
+        fbond = jnp.where(pres & (r > 0), -2.0 * bond_k * dr / r, 0.0)
+        fb = fbond[:, None] * d
+        f = f.at[jnp.where(wi > 0, b_i, n)].add(fb, mode="drop")
+        f = f.at[jnp.where(wj > 0, b_j, n)].add(-fb, mode="drop")
+        w2 = 0.5 * (wi + wj)
+        pe = pe + jnp.sum(w2 * bond_k * dr * dr)
+        vir = vir + _vtally(w2 * fbond, d)
+
+    if params.n_angles:
+        pres = (a_1 < n) & (a_2 < n) & (a_3 < n)
+        w1 = (pres & (a_1 < nloc)).astype(dt_)
+        w2_ = (pres & (a_2 < nloc)).astype(dt_)
+        w3 = (pres & (a_3 < nloc)).astype(dt_)
+        i1 = jnp.minimum(a_1, n - 1)
+        i2 = jnp.minimum(a_2, n - 1)
+        i3 = jnp.minimum(a_3, n - 1)
+        d1 = box.min_image(x[i1] - x[i2])
+        d2 = box.min_image(x[i3] - x[i2])
+        r1 = jnp.sqrt(jnp.sum(d1 * d1, axis=1))
+        r2 = jnp.sqrt(jnp.sum(d2 * d2, axis=1))
+        c = jnp.sum(d1 * d2, axis=1) / jnp.maximum(r1 * r2, 1e-30)
+        c = jnp.clip(c, -1.0, 1.0)
+        s = jnp.maximum(jnp.sqrt(1.0 - c * c), 1e-8)
+        dtheta = jnp.arccos(c) - angle_t0
+        a = jnp.where(pres, -2.0 * angle_k * dtheta / s, 0.0)
+        a11 = a * c / jnp.maximum(r1 * r1, 1e-30)
+        a12 = -a / jnp.maximum(r1 * r2, 1e-30)
+        a22 = a * c / jnp.maximum(r2 * r2, 1e-30)
+        f1 = a11[:, None] * d1 + a12[:, None] * d2
+        f3 = a22[:, None] * d2 + a12[:, None] * d1
+        f = f.at[jnp.where(w1 > 0, a_1, n)].add(f1, mode="drop")
+        f = f.at[jnp.where(w3 > 0, a_3, n)].add(f3, mode="drop")
+        f = f.at[jnp.where(w2_ > 0, a_2, n)].add(-(f1 + f3), mode="drop")
+        wf = (w1 + w2_ + w3) / 3.0
+        pe = pe + jnp.sum(wf * angle_k * dtheta * dtheta)
+        vir = vir + jnp.stack([
+            jnp.sum(wf * (d1[:, 0] * f1[:, 0] + d2[:, 0] * f3[:, 0])),
+            jnp.sum(wf * (d1[:, 1] * f1[:, 1] + d2[:, 1] * f3[:, 1])),
+            jnp.sum(wf * (d1[:, 2] * f1[:, 2] + d2[:, 2] * f3[:, 2])),
+            jnp.sum(wf * (d1[:, 0] * f1[:, 1] + d2[:, 0] * f3[:, 1])),
+            jnp.sum(wf * (d1[:, 0] * f1[:, 2] + d2[:, 0] * f3[:, 2])),
+            jnp.sum(wf * (d1[:, 1] * f1[:, 2] + d2[:, 1] * f3[:, 2])),
         ]).astype(dt_)
 
     return f, pe, vir

