@@ -431,3 +431,103 @@ def write_molecular_ucgld_deck(outdir: str, nmol: int = 256,
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     return path
+
+
+def write_molecular_tetramer_deck(outdir: str, nmol: int = 128,
+                                  rho: float = 0.2, rc: float = 2.5,
+                                  eps=(1.0, 0.6, 0.6, 0.25), mu=(0.0, 0.3),
+                                  lam_mass: float = 5.0, T: float = 0.8,
+                                  nsteps: int = 200, dt: float = 0.002,
+                                  thermo_every: int = 50, seed: int = 37,
+                                  tablength: int = 2000) -> str:
+    """Tetramer chains with the FULL molecular topology surface: harmonic
+    bonds + angles + dihedrals + impropers and the LAMMPS-default 1-2/1-3/1-4
+    special exclusions — the complete `atom_style ucg` molecular deck
+    (atom_vec_ucg.cpp:33-96 carries all four term classes; forces come from
+    the stock harmonic styles)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = 4 * nmol
+    L = (n / rho) ** (1 / 3)
+    centers = lattice_positions(nmol, L, jitter=0.1, seed=seed)
+    xs = []
+    for m in range(nmol):
+        pts = [centers[m]]
+        prev = None
+        for _ in range(3):
+            step = rng.normal(size=3)
+            step /= np.linalg.norm(step)
+            if prev is not None:
+                while abs(step @ prev) > 0.7:     # avoid collinear chains
+                    step = rng.normal(size=3)
+                    step /= np.linalg.norm(step)
+            pts.append(pts[-1] + 0.8 * step)
+            prev = step
+        xs.append(np.stack(pts))
+    x = np.concatenate(xs) % L
+
+    write_table_file(os.path.join(outdir, "ucg.table"), {
+        "UCG_00": soft_table(eps[0], rc), "UCG_01": soft_table(eps[1], rc),
+        "UCG_10": soft_table(eps[2], rc), "UCG_11": soft_table(eps[3], rc),
+    })
+    with open(os.path.join(outdir, "ucg.settings"), "w") as fh:
+        fh.write("1 2 2\n1 2\n1 2\n%g %g\n" % mu)
+
+    with open(os.path.join(outdir, "system.data"), "w") as fh:
+        fh.write("UCG-LD tetramer chains\n\n")
+        fh.write(f"{n} atoms\n{3 * nmol} bonds\n{2 * nmol} angles\n"
+                 f"{nmol} dihedrals\n{nmol} impropers\n"
+                 "1 atom types\n1 bond types\n1 angle types\n"
+                 "1 dihedral types\n1 improper types\n\n")
+        fh.write(f"0 {L:.10g} xlo xhi\n0 {L:.10g} ylo yhi\n"
+                 f"0 {L:.10g} zlo zhi\n\n")
+        fh.write("Masses\n\n1 1.0\n\nAtoms # ucg\n\n")
+        lam0 = rng.uniform(0.2, 0.8, n)
+        st0 = (lam0 > 0.5).astype(int)
+        for k in range(n):
+            fh.write(f"{k + 1} {k // 4 + 1} 1 0.0 {x[k, 0]:.10g} "
+                     f"{x[k, 1]:.10g} {x[k, 2]:.10g} {st0[k]} "
+                     f"{lam0[k]:.6f} {lam_mass}\n")
+        fh.write("\nBonds\n\n")
+        b = 1
+        for m in range(nmol):
+            a1 = 4 * m + 1
+            for k in range(3):
+                fh.write(f"{b} 1 {a1 + k} {a1 + k + 1}\n"); b += 1
+        fh.write("\nAngles\n\n")
+        for m in range(nmol):
+            a1 = 4 * m + 1
+            fh.write(f"{2 * m + 1} 1 {a1} {a1 + 1} {a1 + 2}\n")
+            fh.write(f"{2 * m + 2} 1 {a1 + 1} {a1 + 2} {a1 + 3}\n")
+        fh.write("\nDihedrals\n\n")
+        for m in range(nmol):
+            a1 = 4 * m + 1
+            fh.write(f"{m + 1} 1 {a1} {a1 + 1} {a1 + 2} {a1 + 3}\n")
+        fh.write("\nImpropers\n\n")
+        for m in range(nmol):
+            a1 = 4 * m + 1
+            fh.write(f"{m + 1} 1 {a1} {a1 + 1} {a1 + 2} {a1 + 3}\n")
+
+    lines = [
+        "# tetramer UCG-LD chains: bonds + angles + dihedrals + impropers",
+        "units lj", "atom_style ucg", "read_data system.data",
+        f"pair_style table_ucgld linear {tablength} ucg.settings",
+        "pair_coeff 1 1 2 2 "
+        f"ucg.table UCG_00 {rc} ucg.table UCG_01 {rc} "
+        f"ucg.table UCG_10 {rc} ucg.table UCG_11 {rc}",
+        "bond_style harmonic", "bond_coeff 1 50.0 0.8",
+        "angle_style harmonic", "angle_coeff 1 10.0 110.0",
+        "dihedral_style harmonic", "dihedral_coeff 1 2.0 1 3",
+        "improper_style harmonic", "improper_coeff 1 1.5 35.0",
+        "special_bonds lj 0 0 0",
+        "neighbor 0.4 bin", "neigh_modify every 5 one 96",
+        f"timestep {dt}", f"velocity all create {T} {seed + 1}",
+        "fix 1 all nve/ucgld/wall/hard",
+        f"fix 2 all ucgld/langevin {T} {T} 0.5 {seed + 2}",
+        "fix 3 all ucgstate ld",
+        f"thermo {thermo_every}", f"run {nsteps}",
+    ]
+    path = os.path.join(outdir, "in.molecular_tetramer")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path

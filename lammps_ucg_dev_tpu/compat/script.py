@@ -111,6 +111,10 @@ class ScriptRunner:
         self.bond_coeffs: dict = {}
         self.angle_style: str | None = None
         self.angle_coeffs: dict = {}
+        self.dihedral_style: str | None = None
+        self.dihedral_coeffs: dict = {}
+        self.improper_style: str | None = None
+        self.improper_coeffs: dict = {}
         self.special_weights = (0.0, 0.0, 0.0)   # LAMMPS default: exclude
         self.integrator = fi.IntegratorCfg(kind="none")
         self.langevin: fl.LangevinCfg | None = None
@@ -398,6 +402,26 @@ class ScriptRunner:
     def _cmd_angle_coeff(self, a):
         # angle_coeff TYPE K theta0(degrees)
         self.angle_coeffs[int(a[0])] = (float(a[1]), float(a[2]))
+
+    def _cmd_dihedral_style(self, a):
+        if a[0] not in ("harmonic", "none", "zero"):
+            raise ValueError(f"unsupported dihedral_style {a[0]!r}")
+        self.dihedral_style = None if a[0] in ("none", "zero") else a[0]
+
+    def _cmd_dihedral_coeff(self, a):
+        # dihedral_coeff TYPE K d n  (dihedral_style harmonic:
+        # E = K [1 + d cos(n phi)], d = +1/-1, integer n >= 0)
+        self.dihedral_coeffs[int(a[0])] = (float(a[1]), float(a[2]),
+                                           int(a[3]))
+
+    def _cmd_improper_style(self, a):
+        if a[0] not in ("harmonic", "none", "zero"):
+            raise ValueError(f"unsupported improper_style {a[0]!r}")
+        self.improper_style = None if a[0] in ("none", "zero") else a[0]
+
+    def _cmd_improper_coeff(self, a):
+        # improper_coeff TYPE K chi0(degrees)  (improper_style harmonic)
+        self.improper_coeffs[int(a[0])] = (float(a[1]), float(a[2]))
 
     def _cmd_special_bonds(self, a):
         # special_bonds lj w12 w13 w14 | lj/coul w12 w13 w14 (0/1 only)
@@ -794,12 +818,21 @@ class ScriptRunner:
         df = self.datafile
         bonds = df.bonds if (df is not None and self.bond_style) else None
         angles = df.angles if (df is not None and self.angle_style) else None
-        if bonds is None and angles is None:
+        dihedrals = (df.dihedrals
+                     if (df is not None and self.dihedral_style) else None)
+        impropers = (df.impropers
+                     if (df is not None and self.improper_style) else None)
+        if (bonds is None and angles is None and dihedrals is None
+                and impropers is None):
             return None, None
         from lammps_ucg_dev_tpu.models import bonded as bd
 
         params = bd.make_params(bonds, self.bond_coeffs, angles,
-                                self.angle_coeffs, dtype=self.dtype)
+                                self.angle_coeffs, dtype=self.dtype,
+                                dihedrals=dihedrals,
+                                dihedral_coeffs=self.dihedral_coeffs,
+                                impropers=impropers,
+                                improper_coeffs=self.improper_coeffs)
         excl = bd.special_tags(
             n, bonds=bonds, angles=angles,
             dihedrals=df.dihedrals if df is not None else None,

@@ -277,7 +277,9 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
         return mean_w + 5.0 * math.sqrt(max(mean_w, 1.0))
 
     if G is None or S is None:
-        for g, s in _GS_CANDIDATES:
+        cands = (_GS_CANDIDATES_SMALL if ncol < _GS_SMALL_NCOL
+                 else _GS_CANDIDATES)
+        for g, s in cands:
             if G is not None and g != G:
                 continue
             if S is not None and s != S:
@@ -305,16 +307,32 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
                       periodic_x=periodic_x, periodic_y=periodic_y)
 
 
-# (G, S) preference order: large G first (fewer programs and DMAs), then
-# large S (less page replication).  Budget per row-window: W - S slots.
-_GS_CANDIDATES = [(8, 32), (8, 16), (4, 64), (4, 32), (4, 16),
-                  (2, 64), (2, 32), (2, 16), (1, 64), (1, 32), (1, 16)]
+# (G, S) preference order — SIZE-CONDITIONED, measured on v5e (rho=0.6,
+# 2026-08-19, bench.py --phases + UCG_KERNEL_GS probes):
+# * large grids (262k: ncol=676): the S=16 page stride costs ~30% kernel
+#   time versus S=32 at the same G (pair_slot 105-106 vs 80.5 ns/atom for
+#   (2,16) vs (2,32); same candidate count, same arithmetic), and G=1
+#   loses the window-load amortization ((1,32): 118) -> prefer any S>=32
+#   geometry over any S=16 one, larger G first within a stride class.
+# * small grids (4k: ncol=36): the ranking inverts — (4,16) runs ~21%
+#   faster than (2,32) (880 vs 692 steps/s, bench --quick) -> keep the
+#   round-2 large-G-first order.
+# The crossover is untested between those sizes; ncol >= 128 is the proxy
+# threshold.  UCG_KERNEL_GS overrides either ordering.
+# Budget per row-window: W - S slots.
+_GS_CANDIDATES = [(8, 32), (4, 64), (4, 32), (2, 64), (2, 32),
+                  (8, 16), (4, 16), (2, 16), (1, 64), (1, 32), (1, 16)]
+_GS_CANDIDATES_SMALL = [(8, 32), (8, 16), (4, 64), (4, 32), (4, 16),
+                        (2, 64), (2, 32), (2, 16), (1, 64), (1, 32),
+                        (1, 16)]
+_GS_SMALL_NCOL = 128
 
 
 def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
                  span_margin: int = 10, G_max: int = 8,
                  periodic_x: bool = True,
-                 periodic_y: bool = True) -> ColumnSpec:
+                 periodic_y: bool = True,
+                 G: int | None = None, S: int | None = None) -> ColumnSpec:
     """Data-driven spec: measure the actual x-row window spans / column
     counts / ghost needs from the setup positions (host numpy) and size
     (G, S), cz, gz with margins.  Robust to structured (lattice) or
@@ -380,18 +398,29 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
         return mx_span
 
     spans = {}
-    G = S = None
-    for g, s in _GS_CANDIDATES:
-        if g > G_max:
-            continue
-        if g not in spans:
-            spans[g] = max_col_span(g)
-        if spans[g] + span_margin <= W - s:
-            G, S = g, s
-            break
-    if G is None:
-        raise ValueError(f"measured row spans {spans} + margin exceed every "
-                         f"page stride; geometry unsupported")
+    if G is not None and S is not None:
+        # explicit (G, S) override (the bench autotune probes alternatives):
+        # still validate the measured span fits the page budget
+        spans[G] = max_col_span(G)
+        if spans[G] + span_margin > W - S:
+            raise ValueError(
+                f"measured row span {spans[G]} + margin exceeds the "
+                f"(G={G}, S={S}) page budget {W - S}")
+    else:
+        G = S = None
+        cands = (_GS_CANDIDATES_SMALL if ncol < _GS_SMALL_NCOL
+                 else _GS_CANDIDATES)
+        for g, s in cands:
+            if g > G_max:
+                continue
+            if g not in spans:
+                spans[g] = max_col_span(g)
+            if spans[g] + span_margin <= W - s:
+                G, S = g, s
+                break
+        if G is None:
+            raise ValueError(f"measured row spans {spans} + margin exceed "
+                             f"every page stride; geometry unsupported")
     cz = cz_of(G)
     need_b = max(int(max(np.sum(zs > Lz - rc) for zs in zcols))
                  for (_, _, zcols, _) in per_cfg)

@@ -35,7 +35,21 @@ which is the general implementation and correctness oracle):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def _gs_override() -> dict:
+    """Optional explicit kernel page geometry from the environment:
+    ``UCG_KERNEL_GS=G,S`` (e.g. ``2,32``) — the tuning knob the bench
+    autotune sweep uses; invalid geometries still fail measure_spec's
+    span validation and fall back to the XLA path."""
+    v = os.environ.get("UCG_KERNEL_GS")
+    if not v:
+        return {}
+    g, s = (int(t) for t in v.split(","))
+    return {"G": g, "S": s}
 
 
 def select_pair_kernel(params, state, cutoff: float, skin: float,
@@ -99,7 +113,8 @@ def select_pair_kernel(params, state, cutoff: float, skin: float,
     lo = np.asarray(state.box.lo, np.float64)
     try:
         spec = colpack.measure_spec(
-            np.mod(np.asarray(state.x, np.float64) - lo, L), L, cutoff, skin)
+            np.mod(np.asarray(state.x, np.float64) - lo, L), L, cutoff, skin,
+            **_gs_override())
     except ValueError:
         return None
     cheb = chebtab.fit_bank(params.bank)

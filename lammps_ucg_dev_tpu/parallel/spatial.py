@@ -775,19 +775,31 @@ class SpatialSimulation(Simulation):
             if self.bonded is not None:
                 bp = self.bonded
                 look = lambda t: inv[jnp.clip(t - 1, 0, ng - 1)]
-                b_i, b_j = look(bp.bond_tags[:, 0]), look(bp.bond_tags[:, 1])
-                a_1 = look(bp.angle_tags[:, 0])
-                a_2 = look(bp.angle_tags[:, 1])
-                a_3 = look(bp.angle_tags[:, 2])
-                topo["rows"] = (b_i, b_j, a_1, a_2, a_3)
-                if bp.n_bonds:
-                    ow = (b_i < nloc) | (b_j < nloc)
-                    overflow |= jnp.any(ow & ((b_i >= sent)
-                                              | (b_j >= sent)))
-                if bp.n_angles:
-                    ow = (a_1 < nloc) | (a_2 < nloc) | (a_3 < nloc)
-                    overflow |= jnp.any(ow & ((a_1 >= sent) | (a_2 >= sent)
-                                              | (a_3 >= sent)))
+                rows = {
+                    "bond": tuple(look(bp.bond_tags[:, m])
+                                  for m in range(2)),
+                    "angle": tuple(look(bp.angle_tags[:, m])
+                                   for m in range(3)),
+                    "dihedral": tuple(look(bp.dihedral_tags[:, m])
+                                      for m in range(4)),
+                    "improper": tuple(look(bp.improper_tags[:, m])
+                                      for m in range(4)),
+                }
+                topo["rows"] = rows
+                # a term with any OWNED member must have ALL members locally
+                # present (bond chains span < halo width) — else overflow
+                for key, nterms in (("bond", bp.n_bonds),
+                                    ("angle", bp.n_angles),
+                                    ("dihedral", bp.n_dihedrals),
+                                    ("improper", bp.n_impropers)):
+                    if nterms:
+                        rs = rows[key]
+                        ow = rs[0] < nloc
+                        miss = rs[0] >= sent
+                        for r in rs[1:]:
+                            ow |= r < nloc
+                            miss |= r >= sent
+                        overflow |= jnp.any(ow & miss)
 
         if self._is_column:
             nbr = colpack.restrict_i(

@@ -358,3 +358,196 @@ def test_group_union_and_stride(tmp_path):
     assert r.groups["odd"].sum() == 5          # ids 1,3,5,7,9
     r.command("group odd id 2:4")
     assert r.groups["odd"].sum() == 5 + 3 - 1  # union adds 2,4 (3 in both)
+
+
+# ---- dihedral / improper harmonic (stock styles the molecular atom style
+# implies: atom_vec_ucg.cpp:33-96 carries dihedrals/impropers through every
+# comm path; forces come from stock dihedral_harmonic / improper_harmonic) --
+
+def _butane_frame(phi_deg):
+    """4-atom chain with torsion angle phi (cis = 0 convention): r2 at the
+    origin, b2 along x, r1 in the +y half-plane, r4 rotated by phi."""
+    phi = np.deg2rad(phi_deg)
+    r2 = np.array([3.0, 3.0, 3.0])
+    r3 = r2 + [1.0, 0, 0]
+    r1 = r2 + np.array([-0.5, 0.866, 0.0])
+    r4 = r3 + [0.5, 0.866 * np.cos(phi), 0.866 * np.sin(phi)]
+    return np.stack([r1, r2, r3, r4])
+
+
+def _state_of(x):
+    return SimState.create(
+        x=x, box=Box.create([0, 0, 0], [10, 10, 10], dtype=jnp.float64),
+        dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("phi,expect_of_k", [
+    (0.0, lambda K: 2 * K),        # cis: E = K(1 + cos 0)
+    (90.0, lambda K: K),           # E = K(1 + cos 90) = K
+    (180.0, lambda K: 0.0),        # trans minimum for d=+1, n=1
+])
+def test_dihedral_energy_analytic(phi, expect_of_k):
+    state = _state_of(_butane_frame(phi))
+    p = bd.make_params(dihedrals=[[1, 1, 1, 2, 3, 4]],
+                       dihedral_coeffs={1: (5.0, 1.0, 1)},
+                       dtype=jnp.float64)
+    f, pe, vir = bd.compute(state, p)
+    np.testing.assert_allclose(float(pe), expect_of_k(5.0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f).sum(0), 0.0, atol=1e-10)
+
+
+def test_dihedral_multiplicity_and_sign():
+    """E = K[1 + d cos(n phi)]: n = 2 doubles the angle, d = -1 flips."""
+    state = _state_of(_butane_frame(90.0))
+    p = bd.make_params(dihedrals=[[1, 1, 1, 2, 3, 4]],
+                       dihedral_coeffs={1: (3.0, 1.0, 2)}, dtype=jnp.float64)
+    _, pe, _ = bd.compute(state, p)
+    np.testing.assert_allclose(float(pe), 3.0 * (1 + np.cos(np.pi)),
+                               atol=1e-10)                    # = 0
+    p2 = bd.make_params(dihedrals=[[1, 1, 1, 2, 3, 4]],
+                        dihedral_coeffs={1: (3.0, -1.0, 1)},
+                        dtype=jnp.float64)
+    _, pe2, _ = bd.compute(state, p2)
+    np.testing.assert_allclose(float(pe2), 3.0 * (1 - np.cos(np.pi / 2)),
+                               atol=1e-10)                    # = 3
+
+
+def test_improper_energy_analytic():
+    """Planar frame: chi = 0 -> E = 0 and zero force at chi0 = 0; the
+    chi0 = 30 deg case gives E = K(pi/2 - pi/6)^2 at chi = 90."""
+    p0 = bd.make_params(impropers=[[1, 1, 1, 2, 3, 4]],
+                        improper_coeffs={1: (4.0, 0.0)}, dtype=jnp.float64)
+    f, pe, _ = bd.compute(_state_of(_butane_frame(0.0)), p0)
+    np.testing.assert_allclose(float(pe), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-9)
+    p30 = bd.make_params(impropers=[[1, 1, 1, 2, 3, 4]],
+                         improper_coeffs={1: (4.0, 30.0)}, dtype=jnp.float64)
+    _, pe2, _ = bd.compute(_state_of(_butane_frame(90.0)), p30)
+    np.testing.assert_allclose(float(pe2), 4.0 * (np.pi / 2 - np.pi / 6) ** 2,
+                               rtol=1e-10)
+
+
+def _tetramer_state(rng, nmol=12, L=14.0):
+    """Random non-degenerate 4-atom chains + full topology."""
+    n = 4 * nmol
+    xs = []
+    for m in range(nmol):
+        base = rng.uniform(2, L - 2, 3)
+        pts = [base]
+        for _ in range(3):
+            step = rng.normal(size=3)
+            step /= np.linalg.norm(step)
+            # reject near-collinear continuations (torsion undefined)
+            while len(pts) >= 2:
+                prev = pts[-1] - pts[-2]
+                prev /= np.linalg.norm(prev)
+                if abs(step @ prev) < 0.8:
+                    break
+                step = rng.normal(size=3)
+                step /= np.linalg.norm(step)
+            pts.append(pts[-1] + 0.9 * step)
+        xs.append(np.stack(pts))
+    x = np.concatenate(xs) % L
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.3, (n, 3)), typ=np.ones(n, np.int32),
+        mol=np.repeat(np.arange(1, nmol + 1), 4),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    bonds, angles, diheds, imps = [], [], [], []
+    for m in range(nmol):
+        a = 4 * m + 1
+        for k in range(3):
+            bonds.append([3 * m + k + 1, 1, a + k, a + k + 1])
+        angles.append([2 * m + 1, 1, a, a + 1, a + 2])
+        angles.append([2 * m + 2, 1, a + 1, a + 2, a + 3])
+        diheds.append([m + 1, 1, a, a + 1, a + 2, a + 3])
+        imps.append([m + 1, 1, a, a + 1, a + 2, a + 3])
+    return state, (np.asarray(bonds), np.asarray(angles),
+                   np.asarray(diheds), np.asarray(imps))
+
+
+def test_torsion_force_is_minus_grad_energy(rng):
+    state, (bonds, angles, diheds, imps) = _tetramer_state(rng)
+    params = bd.make_params(
+        bonds, {1: (50.0, 0.9)}, angles, {1: (10.0, 110.0)},
+        dihedrals=diheds, dihedral_coeffs={1: (2.0, 1.0, 3)},
+        impropers=imps, improper_coeffs={1: (1.5, 35.0)},
+        dtype=jnp.float64)
+    f, pe, vir = bd.compute(state, params)
+    g = jax.grad(lambda x: bd.potential_energy(x, state, params))(state.x)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g), atol=1e-9)
+    assert float(pe) > 0.0
+    np.testing.assert_allclose(np.asarray(f).sum(0), 0.0, atol=1e-9)
+
+
+def test_compute_spatial_matches_compute_torsions(rng):
+    """compute_spatial with an identity row map and nloc = n must equal the
+    single-chip compute for every term class (incl. 4-body)."""
+    state, (bonds, angles, diheds, imps) = _tetramer_state(rng)
+    n = state.n_atoms
+    params = bd.make_params(
+        bonds, {1: (50.0, 0.9)}, angles, {1: (10.0, 110.0)},
+        dihedrals=diheds, dihedral_coeffs={1: (2.0, 1.0, 3)},
+        impropers=imps, improper_coeffs={1: (1.5, 35.0)},
+        dtype=jnp.float64)
+    f0, pe0, vir0 = bd.compute(state, params)
+    look = lambda t: jnp.asarray(t - 1, jnp.int32)
+    rows = {
+        "bond": tuple(look(params.bond_tags[:, m]) for m in range(2)),
+        "angle": tuple(look(params.angle_tags[:, m]) for m in range(3)),
+        "dihedral": tuple(look(params.dihedral_tags[:, m])
+                          for m in range(4)),
+        "improper": tuple(look(params.improper_tags[:, m])
+                          for m in range(4)),
+    }
+    f1, pe1, vir1 = bd.compute_spatial(state, params, rows, n)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-10)
+    np.testing.assert_allclose(float(pe1), float(pe0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vir1), np.asarray(vir0),
+                               rtol=1e-9)
+
+
+def test_nve_conservation_with_torsions(rng):
+    """Tetramer chains with pair + all four bonded term classes conserve
+    energy under NVE."""
+    state, (bonds, angles, diheds, imps) = _tetramer_state(rng, nmol=24,
+                                                           L=16.0)
+    n = state.n_atoms
+    st, bank, tp, rc = helpers.build_two_state()
+    state = SimState.create(
+        x=np.asarray(state.x), v=np.asarray(state.v),
+        typ=np.ones(n, np.int32), mol=np.asarray(state.mol),
+        ucgl=np.full(n, 0.5), ucgstate=np.zeros(n, np.int64),
+        ucgml=np.full(n, 5.0),
+        box=Box.create([0, 0, 0], [16.0] * 3, dtype=jnp.float64),
+        dtype=jnp.float64)
+    bparams = bd.make_params(
+        bonds, {1: (50.0, 0.9)}, angles, {1: (10.0, 110.0)},
+        dihedrals=diheds, dihedral_coeffs={1: (2.0, 1.0, 3)},
+        impropers=imps, improper_coeffs={1: (1.5, 35.0)},
+        dtype=jnp.float64)
+    excl = bd.special_tags(n, bonds=bonds, angles=angles, dihedrals=diheds)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+    spec = nb.make_spec(n, [16.0] * 3, rc, 0.4, method="nsq")
+    cfg = SimConfig(dt=0.001, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld"),
+                    reneigh_every=5)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    sim2 = Simulation(system, state, pair_ucgld.compute, params, spec, cfg,
+                      bonded=bparams, excl_tags=excl)
+
+    def hamiltonian():
+        # conserved quantity under lambda-dynamics: etotal + sum lam*mu_diff
+        row = sim2.thermo()
+        mu = float(jnp.sum(jnp.where(tp.n_states[sim2.state.typ] > 1,
+                                     sim2.state.ucgl
+                                     * tp.mu_diff[sim2.state.typ], 0.0)))
+        return row["etotal"] + mu
+
+    es = []
+    for _ in range(10):
+        sim2.run(20)
+        es.append(hamiltonian())
+    es = np.asarray(es)
+    drift = np.abs(es - es[0]).max() / abs(es[0])
+    assert drift < 5e-5, f"NVE drift {drift:.2e} with torsion terms"

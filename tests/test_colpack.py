@@ -57,7 +57,10 @@ def test_coverage_lattice_moire(rng):
     Poisson sizing of windows."""
     xn, L = lattice_fluid(rng, 2048)
     spec, cl = assert_exact_coverage(xn, L, 2048)
-    assert int(cl.max_occupancy) <= colpack.W - spec.S
+    # selection invariant: measured span + page-alignment slack (<= S-1)
+    # + drift margin (10) fits the W-slot window, i.e. the realized
+    # occupancy leaves at least the drift margin free
+    assert int(cl.max_occupancy) <= colpack.W - 10
 
 
 def test_coverage_boundary_heavy(rng):

@@ -347,3 +347,31 @@ def test_processors_bonded_deck_uses_spatial(tmp_path):
         assert a["step"] == b["step"]
         for k in ("temp", "pe", "etotal"):
             np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)
+
+
+def test_tetramer_deck_full_topology(tmp_path):
+    """Deck with all four bonded term classes (bonds/angles/dihedrals/
+    impropers) + 1-2/1-3/1-4 exclusions runs healthily single-chip, and the
+    spatial slab run (processors 3 1 1) reproduces its thermo exactly —
+    the 4-body terms ride the per-block tag→row maps."""
+    from make_deck import write_molecular_tetramer_deck
+
+    deck = write_molecular_tetramer_deck(str(tmp_path), nmol=128, nsteps=40,
+                                         thermo_every=20)
+    text = open(deck).read()
+    r1 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r1.run_file(deck)
+    assert len(r1.thermo_rows) == 3
+    for row in r1.thermo_rows:
+        assert np.isfinite(row["etotal"])
+        assert row["temp"] < 3.0
+    logs = []
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=logs.append)
+    r2.run_string("processors 3 1 1\n" + text)
+    assert any("slab" in m for m in logs if "multi-chip" in m), logs
+    for a, b in zip(r1.thermo_rows, r2.thermo_rows):
+        assert a["step"] == b["step"]
+        for k in ("temp", "pe", "etotal"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)
