@@ -760,8 +760,8 @@ class ScriptRunner:
                               log_dir=self.workdir if self.cswitch else None,
                               bonded=bparams, excl_tags=excl)
         if multi:
-            # triclinic boxes / rRESPA don't ride the spatial halos: the
-            # GSPMD atom decomposition is the general multi-chip fallback
+            # triclinic boxes don't ride the spatial halos: the GSPMD atom
+            # decomposition is the general multi-chip fallback
             # (replicated-gather comm, bit-exact vs single device)
             from lammps_ucg_dev_tpu.parallel import domain
 
@@ -773,11 +773,11 @@ class ScriptRunner:
                           cutoff, n, L, px, py, kernel: bool,
                           bparams, excl) -> bool:
         """Build the spatial (slab/pencil) driver for a ``processors``
-        deck, or return False for the GSPMD fallback (triclinic/rRESPA)."""
+        deck, or return False for the GSPMD fallback (triclinic)."""
         if getattr(self.state.box, "is_triclinic", False):
             return False
-        if cfg.respa_inner != 1:
-            return False
+        if cfg.respa_inner != 1 and bparams is None:
+            return False           # respa needs bonded terms on this path
         from lammps_ucg_dev_tpu.parallel import spatial
 
         lo = np.asarray(self.state.box.lo)

@@ -384,9 +384,12 @@ class SpatialSimulation(Simulation):
     halo width, violations flagged as overflow).  Exclusions go list-side
     on the XLA pair path (the single-chip mechanism) and compute-and-
     subtract via the style's ``excl_delta`` on the column-kernel path.
+    2-level r-RESPA runs too: the bonded inner level refreshes owner x
+    into ghosts before every fast-force evaluation (ghost rows carry no
+    velocities, so their drifted positions are otherwise stale).
 
     Not supported on this path (use Simulation + parallel.domain):
-    rRESPA, sort_atoms, extra_post_force.
+    sort_atoms, extra_post_force.
     """
 
     def __init__(self, system, state: SimState, pair_compute, pair_params,
@@ -395,10 +398,9 @@ class SpatialSimulation(Simulation):
                  log_dir: str | None = None, bonded=None, excl_tags=None):
         if cfg.sort_atoms:
             cfg = dataclasses.replace(cfg, sort_atoms=False)
-        if cfg.respa_inner != 1:
-            raise NotImplementedError(
-                "rRESPA is not supported under the spatial drivers "
-                "(use Simulation + parallel.domain)")
+        if cfg.respa_inner != 1 and bonded is None:
+            raise ValueError("respa_inner > 1 requires bonded terms "
+                             "(the fast level)")
         super().__init__(system, state, pair_compute, pair_params,
                          slab.nbr, cfg, cluster_switch=cluster_switch,
                          log_dir=log_dir, bonded=bonded, excl_tags=excl_tags)
@@ -1052,6 +1054,50 @@ class SpatialSimulation(Simulation):
                               None)
                 if nos is not None:
                     fast_fn, fast_scores = nos, False
+            # ---- 2-level r-RESPA (bonded inner, pair outer) ----------------
+            # the single-chip respa body (runtime/sim.py) with halo
+            # awareness: ghost rows carry NO velocities, so their drifted
+            # positions inside the inner loop are garbage — the fast-force
+            # closure refreshes owner x into ghosts before every bonded
+            # evaluation, and the outer pair evaluation gets the full
+            # 6-feature refresh exactly like the Verlet body
+            respa = self.cfg.respa_inner > 1
+            if respa:
+                from lammps_ucg_dev_tpu.models import bonded as bd
+
+                dt_in = self.cfg.dt / self.cfg.respa_inner
+
+                def bonded_eval(st):
+                    st = refresh(st)
+                    return bd.compute_spatial(st, self.bonded,
+                                              topo["rows"], topo["nloc"])[0]
+
+                def respa_body(carry, _):
+                    sim_s, fout, fbond = carry
+                    sim_s = fi.respa_outer_initial(
+                        sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
+                        self.cfg.u.ftm2v, self.cfg.integrator)
+
+                    def inner(c, _):
+                        st, fb = fi.respa_inner_step(
+                            c[0], c[1], mass, dt_in, self.cfg.u.ftm2v,
+                            self.cfg.integrator, bonded_eval)
+                        return (st, fb), None
+
+                    (sim_s, fbond), _ = jax.lax.scan(
+                        inner, (sim_s, fbond), None,
+                        length=self.cfg.respa_inner)
+                    sim_s = refresh(sim_s)
+                    sim_s, fout = self._forces(sim_s, nbr, run_window,
+                                               pair_params=params,
+                                               pair_fn=wrap_pair(None),
+                                               topo=topo)
+                    fout = clean(fout)
+                    sim_s = fi.respa_outer_final(
+                        sim_s, fout.f, fout.ucgforce, mass, self.cfg.dt,
+                        self.cfg.u.ftm2v, self.cfg.integrator)
+                    sim_s = dataclasses.replace(sim_s, step=sim_s.step + 1)
+                    return (sim_s, fout, fbond), None
             # slot-major interior (single-chip _slot_interior analogue):
             # state lives in column-slot order for the nsteps-1 interior
             # steps — the per-step atom→slot pack gather and out-take
@@ -1059,7 +1105,8 @@ class SpatialSimulation(Simulation):
             # Styles with a phase-boundary xchg (P3/P4) stay atom-ordered
             # (their derived-quantity exchange is row-indexed), as does the
             # cluster_switch event block.
-            use_slot = (self._slot_ok and nsteps > 1 and cswitch is None
+            use_slot = (not respa and self._slot_ok and nsteps > 1
+                        and cswitch is None
                         and not getattr(self.pair_compute,
                                         "supports_halo_xchg", False))
             if use_slot:
@@ -1095,6 +1142,10 @@ class SpatialSimulation(Simulation):
                                              length=nsteps - 1)
                 sim1, fout1 = self._from_slots(sim0, ss1, sf1, nbr)
                 (sim1, fout1), _ = make_body(None)((sim1, fout1), None)
+            elif respa:
+                (sim1, fout1, _), _ = jax.lax.scan(
+                    respa_body, (sim0, fout0, bonded_eval(sim0)), None,
+                    length=nsteps)
             elif fast_fn is not None and nsteps > 1:
                 (sim1, fout1), _ = jax.lax.scan(
                     make_body(fast_fn, scores_valid=fast_scores),
@@ -1103,6 +1154,17 @@ class SpatialSimulation(Simulation):
             else:
                 (sim1, fout1), _ = jax.lax.scan(
                     make_body(None), (sim0, fout0), None, length=nsteps)
+        if self.cfg.respa_inner > 1:
+            # thermo parity with the single-chip respa driver: the pair
+            # pass doesn't fold bonded terms under r-RESPA (the inner level
+            # owns their forces) — add their energy AND virial to the
+            # carried observables (runtime/sim.py thermo impl analogue)
+            from lammps_ucg_dev_tpu.models import bonded as bd
+
+            _, bpe, bvir = bd.compute_spatial(sim1, self.bonded,
+                                              topo["rows"], topo["nloc"])
+            fout1 = dataclasses.replace(fout1, pe=fout1.pe + bpe,
+                                        virial=fout1.virial + bvir)
         danger = nbrmod.displacement_check(nbr, sim1.x, pair_box, sl.nbr.skin)
 
         F1 = _pack_mig(sim1, fout1)

@@ -375,3 +375,27 @@ def test_tetramer_deck_full_topology(tmp_path):
         assert a["step"] == b["step"]
         for k in ("temp", "pe", "etotal"):
             np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)
+
+
+def test_respa_deck_rides_spatial(tmp_path):
+    """A bonded molecular deck under run_style respa WITH ``processors``
+    now rides the spatial slab driver (respa bodies run per device with
+    inner-loop x halo refreshes); thermo matches single-chip respa."""
+    from make_deck import write_molecular_ucgld_deck
+
+    deck = write_molecular_ucgld_deck(str(tmp_path), nmol=256, rho=0.25,
+                                      nsteps=40, thermo_every=20)
+    text = open(deck).read().replace(
+        "thermo ", "run_style respa 2 2 bond 1 pair 2\nthermo ")
+    r1 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=lambda m: None)
+    r1.run_string(text)
+    logs = []
+    r2 = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                      log_callback=logs.append)
+    r2.run_string("processors 3 1 1\n" + text)
+    assert any("slab" in m for m in logs if "multi-chip" in m), logs
+    assert len(r2.thermo_rows) == len(r1.thermo_rows) == 3
+    for a, b in zip(r1.thermo_rows, r2.thermo_rows):
+        for k in ("temp", "pe", "etotal"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)

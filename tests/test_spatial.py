@@ -1114,3 +1114,54 @@ def test_spatial_bonded_exclusion_kernel_path():
         np.testing.assert_allclose(b, a, atol=tol, err_msg=name)
     np.testing.assert_allclose(float(fout2.pe), float(sim1._fcarry.pe),
                                rtol=1e-3)
+
+
+def test_spatial_respa_matches_unsharded():
+    """2-level r-RESPA (bonded inner / pair outer) UNDER the slab
+    decomposition: the inner loop refreshes owner x into ghosts before
+    every bonded evaluation (ghost rows carry no velocities, so their
+    drifted positions are otherwise stale).  8-slab respa trajectories of
+    bonded trimers must equal the single-chip respa run to f64 tolerance."""
+    rng, n, L, x, mols, bparams, excl = _trimer_system(n_mol=2048, rho=0.25,
+                                                       seed=41)
+    st, bank, tp, rc = helpers.build_two_state()
+    state = SimState.create(
+        x=x, v=rng.normal(0, 0.4, (n, 3)), typ=np.ones(n, np.int32),
+        mol=mols, ucgl=rng.uniform(0.2, 0.8, n),
+        ucgstate=rng.integers(0, 2, n), ucgvl=rng.normal(0, 0.3, n),
+        ucgml=np.full(n, 5.0),
+        box=Box.create([0, 0, 0], [L, L, L], dtype=jnp.float64),
+        dtype=jnp.float64)
+    params = pair_ucgld.UCGLDParams(bank=bank, tp=tp, kT=jnp.asarray(0.8))
+    cfg = SimConfig(dt=0.002, units="lj",
+                    integrator=fi.IntegratorCfg("nve/ucgld/wall/hard"),
+                    respa_inner=2, reneigh_every=5)
+    system = System(n_atoms=n, ntypes=1, masses=np.array([0.0, 1.0]))
+    nsteps = 10
+
+    spec = nb.make_spec(n, [L] * 3, rc, 0.4, method="cell", capacity=112)
+    sim1 = Simulation(system, state, pair_ucgld.compute, params, spec, cfg,
+                      bonded=bparams, excl_tags=excl)
+    sim1.run(nsteps)
+
+    slab = spatial.make_slab_spec(n, [L] * 3, rc, 0.4, 8,
+                                  x=np.asarray(state.x), nbr_capacity=112)
+    sim2 = spatial.SpatialSimulation(system, state, pair_ucgld.compute,
+                                     params, slab, cfg,
+                                     bonded=bparams, excl_tags=excl)
+    sim2.run(nsteps)
+
+    st2, fout2 = sim2.gather()
+    order = np.argsort(np.asarray(sim1.state.tag))
+    dx = np.asarray(sim1.state.box.min_image(
+        st2.x - jnp.asarray(np.asarray(sim1.state.x)[order])))
+    assert np.abs(dx).max() < 1e-10, "x (respa slab vs single-chip)"
+    for name in ("v", "ucgl", "ucgvl"):
+        a = np.asarray(getattr(sim1.state, name))[order]
+        b = np.asarray(getattr(st2, name))
+        np.testing.assert_allclose(b, a, atol=1e-10, err_msg=name)
+    # thermo rows (the user-visible observables: the spatial carry folds
+    # bonded pe/virial back in, matching the single-chip respa thermo)
+    t1, t2 = sim1.thermo(), sim2.thermo()
+    for k in ("pe", "etotal", "press", "temp"):
+        np.testing.assert_allclose(t2[k], t1[k], rtol=1e-9, err_msg=k)
