@@ -295,7 +295,8 @@ class ScriptRunner:
                           settings=settings)
 
     def _cmd_write_data(self, a):
-        dio.write_data(self._path(a[0]), self.state, self.system)
+        dio.write_data(self._path(a[0]), self.state, self.system,
+                       topology=self.datafile)
 
     def _cmd_mass(self, a):
         self.masses_override[int(a[0])] = float(a[1])

@@ -206,16 +206,35 @@ def read_data(path: str, atom_style: str = "ucg") -> DataFile:
     return df
 
 
-def write_data(path: str, state, system, comment: str = "") -> None:
-    """Write a ucg-style data file from a SimState (+ System for masses)."""
+def write_data(path: str, state, system, comment: str = "",
+               topology: "DataFile | None" = None) -> None:
+    """Write a ucg-style data file from a SimState (+ System for masses).
+
+    ``topology``: the parsed :class:`DataFile` whose bond/angle/dihedral/
+    improper sections should round-trip (LAMMPS ``write_data`` re-emits the
+    molecular topology; atom tags are stable, so the original rows stay
+    valid)."""
     x = np.asarray(state.x)
     v = np.asarray(state.v)
     n = x.shape[0]
     lo = np.asarray(state.box.lo)
     hi = np.asarray(state.box.hi)
+    topo_rows = []
+    if topology is not None:
+        for name, rows in (("Bonds", topology.bonds),
+                           ("Angles", topology.angles),
+                           ("Dihedrals", topology.dihedrals),
+                           ("Impropers", topology.impropers)):
+            if rows is not None and len(rows):
+                topo_rows.append((name, np.asarray(rows, np.int64)))
     with open(path, "w") as fh:
         fh.write(f"LAMMPS data file via lammps_ucg_dev_tpu {comment}\n\n")
-        fh.write(f"{n} atoms\n{system.ntypes} atom types\n\n")
+        fh.write(f"{n} atoms\n{system.ntypes} atom types\n")
+        for name, rows in topo_rows:
+            kind = name.lower()
+            fh.write(f"{len(rows)} {kind}\n"
+                     f"{int(rows[:, 1].max())} {kind[:-1]} types\n")
+        fh.write("\n")
         fh.write(f"{lo[0]:.15g} {hi[0]:.15g} xlo xhi\n")
         fh.write(f"{lo[1]:.15g} {hi[1]:.15g} ylo yhi\n")
         fh.write(f"{lo[2]:.15g} {hi[2]:.15g} zlo zhi\n")
@@ -249,3 +268,7 @@ def write_data(path: str, state, system, comment: str = "") -> None:
                 f"{tag[k]} {v[k, 0]:.15g} {v[k, 1]:.15g} {v[k, 2]:.15g} "
                 f"{uvl[k]:.15g}\n"
             )
+        for name, rows in topo_rows:
+            fh.write(f"\n{name}\n\n")
+            for r in rows:
+                fh.write(" ".join(str(int(c)) for c in r) + "\n")

@@ -399,3 +399,25 @@ def test_respa_deck_rides_spatial(tmp_path):
     for a, b in zip(r1.thermo_rows, r2.thermo_rows):
         for k in ("temp", "pe", "etotal"):
             np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)
+
+
+def test_write_data_round_trips_topology(tmp_path):
+    """LAMMPS write_data re-emits molecular topology: a tetramer deck's
+    bonds/angles/dihedrals/impropers survive a write_data -> read_data
+    round trip (atom tags are stable, so rows match exactly)."""
+    from make_deck import write_molecular_tetramer_deck
+    from lammps_ucg_dev_tpu.io import data as dio
+
+    deck = write_molecular_tetramer_deck(str(tmp_path), nmol=32, nsteps=5,
+                                         thermo_every=5)
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_file(deck)
+    r.command("write_data roundtrip.data")
+    df2 = dio.read_data(str(tmp_path / "roundtrip.data"))
+    df1 = r.datafile
+    for name in ("bonds", "angles", "dihedrals", "impropers"):
+        a, b = getattr(df1, name), getattr(df2, name)
+        assert b is not None and len(b) == len(a), name
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
+                                      err_msg=name)
