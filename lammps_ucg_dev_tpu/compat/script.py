@@ -15,6 +15,9 @@ touches, so a reference input deck drives this engine directly:
                 stock single-table grammar for rleucg_interface)
     fix         nve/ucgld | nve/ucgld/wall/hard [bias_potential H] |
                 ucgld/langevin Tstart Tstop Tperiod seed |
+                nve | langevin Tstart Tstop damp seed  (stock particle-DOF
+                               NVE/NVT; pair styles pull kT from it,
+                               pair_table_ucgld.cpp:872-881) |
                 ucgstate [ld | mc seed rate] |
                 cluster_switch molID_seed mol_offset cutoff seed rateFreq N
                                rateFile f contactFile f
@@ -118,6 +121,7 @@ class ScriptRunner:
         self.special_weights = (0.0, 0.0, 0.0)   # LAMMPS default: exclude
         self.integrator = fi.IntegratorCfg(kind="none")
         self.langevin: fl.LangevinCfg | None = None
+        self.vlangevin: fl.VLangevinCfg | None = None
         self.ucgstate_cfg: fs.UCGStateCfg | None = None
         self.cswitch: tuple | None = None
         self.fix_ids: dict = {}
@@ -614,6 +618,19 @@ class ScriptRunner:
             self.langevin = fl.LangevinCfg(
                 t_start=float(rest[0]), t_stop=float(rest[1]),
                 t_period=float(rest[2]), seed=int(rest[3]), group=gmask)
+        elif style == "nve":
+            # stock fix nve: plain velocity-Verlet on (x, v); λ untouched
+            self.integrator = fi.IntegratorCfg(kind="nve", group=gmask)
+        elif style == "langevin":
+            # stock fix langevin Tstart Tstop damp seed [keywords ignored]
+            # — the particle-DOF thermostat production UCG decks run under
+            # (every pair style takes kT from it, pair_table_ucgld.cpp:
+            # 872-881); pair with `fix nve` for NVT
+            if len(rest) > 4:
+                self.log(f"WARNING: fix langevin keywords {rest[4:]} ignored")
+            self.vlangevin = fl.VLangevinCfg(
+                t_start=float(rest[0]), t_stop=float(rest[1]),
+                damp=float(rest[2]), seed=int(rest[3]), group=gmask)
         elif style == "ucgstate":
             if not rest:
                 self.ucgstate_cfg = fs.UCGStateCfg(mode="default",
@@ -655,10 +672,12 @@ class ScriptRunner:
 
     def _cmd_unfix(self, a):
         style = self.fix_ids.pop(a[0], None)
-        if style in ("nve/ucgld", "nve/ucgld/wall/hard"):
+        if style in ("nve/ucgld", "nve/ucgld/wall/hard", "nve"):
             self.integrator = fi.IntegratorCfg(kind="none")
         elif style == "ucgld/langevin":
             self.langevin = None
+        elif style == "langevin":
+            self.vlangevin = None
         elif style == "ucgstate":
             self.ucgstate_cfg = None
         elif style == "cluster_switch":
@@ -700,7 +719,8 @@ class ScriptRunner:
 
     def _make_sim(self):
         u = units_mod.get(self.units)
-        t_thermo = self.langevin.t_start if self.langevin else 0.0
+        t_thermo = (self.langevin.t_start if self.langevin
+                    else self.vlangevin.t_start if self.vlangevin else 0.0)
         kT = u.boltz * t_thermo
         pair_compute, pair_params, cutoff = self._build_pair(kT)
         n = self.state.n_atoms
@@ -741,7 +761,8 @@ class ScriptRunner:
         dt = self.dt if self.dt is not None else u.dt_default
         cfg = SimConfig(
             dt=dt, units=self.units, integrator=self.integrator,
-            langevin=self.langevin, ucgstate=self.ucgstate_cfg,
+            langevin=self.langevin, vlangevin=self.vlangevin,
+            ucgstate=self.ucgstate_cfg,
             reneigh_every=self.reneigh_every,
             reneigh_check=self.reneigh_check,
             respa_inner=self.respa_inner)

@@ -23,7 +23,9 @@ from lammps_ucg_dev_tpu.core.state import SimState
 
 @dataclasses.dataclass(frozen=True)
 class IntegratorCfg:
-    kind: str = "nve/ucgld"       # "nve/ucgld" | "nve/ucgld/wall/hard" | "none"
+    kind: str = "nve/ucgld"       # "nve/ucgld" | "nve/ucgld/wall/hard" |
+                                  # "nve" (stock: x,v only, λ untouched) |
+                                  # "none"
     bias_potential: bool = False  # wall/hard only
     barrier: float = 0.1
     group: "object | None" = None  # per-TAG bool mask; None = all (the
@@ -60,6 +62,10 @@ def initial_integrate(state: SimState, f: jax.Array, ucgforce: jax.Array,
     dtf = 0.5 * dt * ftm2v
     v = _sel(g, state.v + (dtf / mass)[:, None] * f, state.v)
     x = _sel(g, state.x + dt * v, state.x)
+    if cfg.kind == "nve":
+        # stock fix nve: (x, v) only — λ DOF untouched (the implied-L0
+        # integrator the reference's non-λ styles run under)
+        return dataclasses.replace(state, x=x, v=v)
     vl = _sel(g, state.ucgvl + dtf / state.ucgml * ucgforce, state.ucgvl)
     lam = _sel(g, state.ucgl + dt * vl, state.ucgl)
     ucgstate = state.ucgstate
@@ -78,6 +84,8 @@ def final_integrate(state: SimState, f: jax.Array, ucgforce: jax.Array,
     g = group_mask(cfg, state)
     dtf = 0.5 * dt * ftm2v
     v = _sel(g, state.v + (dtf / mass)[:, None] * f, state.v)
+    if cfg.kind == "nve":
+        return dataclasses.replace(state, v=v)
     vl = _sel(g, state.ucgvl + dtf / state.ucgml * ucgforce, state.ucgvl)
     lam = state.ucgl
     if cfg.wall:
@@ -102,6 +110,8 @@ def respa_outer_initial(state: SimState, f: jax.Array, ucgforce: jax.Array,
     g = group_mask(cfg, state)
     dtf = 0.5 * dt * ftm2v
     v = _sel(g, state.v + (dtf / mass)[:, None] * f, state.v)
+    if cfg.kind == "nve":
+        return dataclasses.replace(state, v=v)
     vl = _sel(g, state.ucgvl + dtf / state.ucgml * ucgforce, state.ucgvl)
     return dataclasses.replace(state, v=v, ucgvl=vl)
 
@@ -119,7 +129,10 @@ def respa_inner_step(state: SimState, fbond: jax.Array, mass: jax.Array,
     dtf = 0.5 * dt_inner * ftm2v
     v = _sel(g, state.v + (dtf / mass)[:, None] * fbond, state.v)
     x = _sel(g, state.x + dt_inner * v, state.x)
-    lam = _sel(g, state.ucgl + dt_inner * state.ucgvl, state.ucgl)
+    if cfg.kind == "nve":
+        lam = state.ucgl
+    else:
+        lam = _sel(g, state.ucgl + dt_inner * state.ucgvl, state.ucgl)
     ucgstate = state.ucgstate
     if cfg.wall:
         new_state = jnp.where(lam < 0.5, 0, 1).astype(ucgstate.dtype)

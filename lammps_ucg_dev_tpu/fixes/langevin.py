@@ -70,6 +70,46 @@ def post_force(key: jax.Array, state: SimState, tT, dt: float,
     return out
 
 
+@dataclasses.dataclass(frozen=True)
+class VLangevinCfg:
+    """Stock ``fix langevin`` acting on particle VELOCITIES (the implied-L0
+    thermostat the reference's production decks run under — every pair style
+    pulls kT from "any thermostat fix", pair_table_ucgld.cpp:872-881).
+    Same conventions as the λ-Langevin (fix_ucgld_langevin.cpp:164-171,
+    273-296, itself copied from stock fix_langevin): uniform noise with the
+    √24 variance factor, γ1 = -m/damp/ftm2v, γ2 = √(24 kB T m/(damp dt
+    mvv2e))/ftm2v, applied per component in post_force."""
+
+    t_start: float
+    t_stop: float
+    damp: float
+    seed: int = 1234
+    enabled: bool = True
+    group: "object | None" = None   # per-TAG bool mask; None = all
+
+
+def post_force_v(key: jax.Array, state: SimState, mass: jax.Array, tT,
+                 dt: float, u: units_mod.UnitSystem,
+                 cfg: VLangevinCfg) -> jax.Array:
+    """(N, 3) force increment of the velocity Langevin thermostat."""
+    gamma1 = -mass / cfg.damp / u.ftm2v
+    gamma2 = (
+        jnp.sqrt(mass) / u.ftm2v
+        * jnp.sqrt(24.0 * u.boltz / cfg.damp / dt / u.mvv2e)
+        * jnp.sqrt(tT)
+    )
+    # tag-keyed draws: invariant under storage order and sharding (see
+    # post_force above); 3 components per atom
+    un_by_tag = jax.random.uniform(key, (state.rng_n, 3),
+                                   dtype=state.v.dtype)
+    un = jnp.take(un_by_tag, state.tag - 1, axis=0)
+    out = gamma1[:, None] * state.v + gamma2[:, None] * (un - 0.5)
+    if cfg.group is not None:
+        g = jnp.asarray(cfg.group)[state.tag - 1]
+        out = jnp.where(g[:, None], out, 0.0)
+    return out
+
+
 def lambda_temperature(state: SimState, u: units_mod.UnitSystem) -> jax.Array:
     """T_λ with 1 dof per atom (end_of_step, :303-312), globally reduced."""
     n = state.ucgvl.shape[0]

@@ -208,10 +208,18 @@ def compute(state: SimState, nbr: NeighborList,
     #   realized.  "conservative" (default) keeps the single reduced
     #   derivative in the state-1 slot so that F = -∇F_Bethe exactly;
     #   "reference" transcribes the literal (self-cancelling) pair.
-        logp4 = jnp.log(jnp.maximum(p4, _PEPS))
-        pf_pair_ucg1 = -(e4[..., 1, 1] - e4[..., 0, 1]
-                         + kT * (logp4[..., 1, 1] - logp4[..., 0, 1]))
+        # stable log(p11/p01) from the closed-form root (bethe_log_ratio):
+        # the naive log-diff of p4 entries loses up to ~80% of the force
+        # max in f32 as p01 -> 0 (PARITY 3b) — resolved round 4
+        J = (e4[..., 1, 1] + e4[..., 0, 0]
+             - e4[..., 0, 1] - e4[..., 1, 0])
+        from lammps_ucg_dev_tpu.models.pair_bethe import bethe_log_ratio
+
+        lr = bethe_log_ratio(jnp.where(within, J, 0.0), pi1_r[:, None],
+                             pj1, kT, params.method)
+        pf_pair_ucg1 = -(e4[..., 1, 1] - e4[..., 0, 1] + kT * lr)
         if params.pair_cv == "reference":
+            logp4 = jnp.log(jnp.maximum(p4, _PEPS))
             pf_pair_ucg0 = -(e4[..., 1, 0] - e4[..., 0, 0]
                              + kT * (logp4[..., 1, 0] - logp4[..., 0, 0]))
         elif params.pair_cv == "conservative":

@@ -77,8 +77,83 @@ def _type_classes(tp, n_tables: int) -> tuple:
         for ti in range(1, ntypes + 1) for tj in range(1, ntypes + 1))
 
 
+def _window_prologue(pipelined, scal_ref, meta_cur, meta_nxt, pages_ref,
+                     jwin, sems):
+    """Shared window-DMA scheme for every kernel style.
+
+    ``pipelined=True`` (compiled TPU): cross-program software pipeline.
+    The kbench ablation (2026-08-20, 262k, G=2/S=32) showed the DMA
+    scaffold ALONE costs ~501 ns/program (44 ns/atom) — more than all the
+    pair physics combined (28.6 ns/atom) — because each program stalls on
+    its own window latency with nothing to hide it.  Here program p's nine
+    windows are started by program p-1 (into the 2-slot scratch ring)
+    while p-1 computes, so the latency hides behind compute; only program
+    0 eats a cold start.  p+1's meta row comes from the CURRENT (8, 32)
+    meta block, or from the NEXT block (second meta input) at 8-block
+    boundaries.
+
+    ``pipelined=False`` (interpret mode / CPU test mesh): each program
+    issues and waits its own windows in slot 0 — identical data, simple
+    sequential semantics for the interpreter.
+
+    Returns the slot index holding THIS program's windows (traced i32).
+    Callers read windows as ``jwin[slot, s]`` after this returns; the xy
+    periodic image shift is already applied.
+    """
+    p = pl.program_id(0)
+    mrow = p % 8
+    Lx = scal_ref[0, 0]
+    Ly = scal_ref[0, 1]
+
+    def dma(slot, c, page, s):
+        return pltpu.make_async_copy(
+            pages_ref.at[page, c], jwin.at[slot, s], sems.at[slot, s])
+
+    if not pipelined:
+        for s in range(NSTEN):
+            dma(0, meta_cur[mrow, s], meta_cur[mrow, NSTEN + s], s).start()
+        for s in range(NSTEN):
+            dma(0, meta_cur[mrow, s], meta_cur[mrow, NSTEN + s], s).wait()
+            code = meta_cur[mrow, 2 * NSTEN + s]
+            sx = (code // 3 - 1).astype(jnp.float32)
+            sy = (code % 3 - 1).astype(jnp.float32)
+            jwin[0, s, 0:1, :] = jwin[0, s, 0:1, :] + sx * Lx
+            jwin[0, s, 1:2, :] = jwin[0, s, 1:2, :] + sy * Ly
+        return 0
+
+    slot = jax.lax.rem(p, 2)
+    nslot = 1 - slot
+
+    @pl.when(p == 0)
+    def _():
+        for s in range(NSTEN):
+            dma(0, meta_cur[0, s], meta_cur[0, NSTEN + s], s).start()
+
+    # prefetch p+1's windows into the other slot while this program
+    # computes; at 8-row block boundaries p+1's meta is meta_nxt row 0
+    boundary = mrow == 7
+    nrow = jax.lax.rem(p + 1, 8)
+
+    @pl.when(p + 1 < pl.num_programs(0))
+    def _():
+        for s in range(NSTEN):
+            c = jnp.where(boundary, meta_nxt[0, s], meta_cur[nrow, s])
+            page = jnp.where(boundary, meta_nxt[0, NSTEN + s],
+                             meta_cur[nrow, NSTEN + s])
+            dma(nslot, c, page, s).start()
+
+    for s in range(NSTEN):
+        dma(slot, meta_cur[mrow, s], meta_cur[mrow, NSTEN + s], s).wait()
+        code = meta_cur[mrow, 2 * NSTEN + s]
+        sx = (code // 3 - 1).astype(jnp.float32)
+        sy = (code % 3 - 1).astype(jnp.float32)
+        jwin[slot, s, 0:1, :] = jwin[slot, s, 0:1, :] + sx * Lx
+        jwin[slot, s, 1:2, :] = jwin[slot, s, 1:2, :] + sy * Ly
+    return slot
+
+
 def _kernel(ce, degree, G, observe, style, mf, classes,
-            dform, want_scores, dstat, *refs0):
+            dform, want_scores, dstat, pipelined, *refs0):
     """One program: G i-clusters vs 9 DMA'd stencil-column windows.
 
     ``style`` selects the per-candidate physics on the shared window/DMA
@@ -129,43 +204,24 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
              full-kernel evaluation at block ends)
     jwin     (NSTEN, 8, W) VMEM scratch; sems (NSTEN,) DMA semaphores
     """
-    scal_ref, meta_ref, ipack_ref, pages_ref, *refs = refs0
+    scal_ref, meta_cur, meta_nxt, ipack_ref, pages_ref, *refs = refs0
     if observe:
         out_ref, out2_ref, jwin, sems = refs
     else:
         out_ref, jwin, sems = refs
         out2_ref = None
-    # meta rows come in 8-row SMEM blocks (TPU block-shape legality); this
-    # program's row is p % 8 within its block
-    mrow = pl.program_id(0) % 8
 
-    def window_dma(s):
-        c = meta_ref[mrow, s]
-        page = meta_ref[mrow, NSTEN + s]
-        return pltpu.make_async_copy(
-            pages_ref.at[page, c], jwin.at[s], sems.at[s])
-
-    for s in range(NSTEN):
-        window_dma(s).start()
-
-    Lx = scal_ref[0, 0]
-    Ly = scal_ref[0, 1]
     cutsq = scal_ref[0, 2]
     innersq = scal_ref[0, 3]
     uscale = scal_ref[0, 4]
     uoff = scal_ref[0, 5]
 
-    for s in range(NSTEN):
-        window_dma(s).wait()
-        # hoist the xy periodic image ONCE per window: the column
-        # relationship statically determines the only image within cutoff
-        # (colpack._stencil_shifts), replacing per-candidate min-image
-        # rounds (8 VPU ops/candidate) with 2 row updates per window
-        code = meta_ref[mrow, 2 * NSTEN + s]
-        sx = (code // 3 - 1).astype(jnp.float32)
-        sy = (code % 3 - 1).astype(jnp.float32)
-        jwin[s, 0:1, :] = jwin[s, 0:1, :] + sx * Lx
-        jwin[s, 1:2, :] = jwin[s, 1:2, :] + sy * Ly
+    # windows land in jwin[slot] with the xy periodic image shift applied
+    # (colpack._stencil_shifts: the column relationship statically
+    # determines the only image within cutoff — 2 row updates per window
+    # instead of per-candidate min-image rounds)
+    slot = _window_prologue(pipelined, scal_ref, meta_cur, meta_nxt,
+                            pages_ref, jwin, sems)
 
     if observe:
         pe_t = jnp.zeros((), jnp.float32)
@@ -207,14 +263,14 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
         oob_b = zeros_b()
 
     for s in range(NSTEN):
-        xj = jwin[s, 0:1, :]
-        yj = jwin[s, 1:2, :]
-        zj = jwin[s, 2:3, :]
-        lj = jwin[s, 3:4, :]
+        xj = jwin[slot, s, 0:1, :]
+        yj = jwin[slot, s, 1:2, :]
+        zj = jwin[slot, s, 2:3, :]
+        lj = jwin[slot, s, 3:4, :]
         if want_scores:
-            sjr = jwin[s, 4:5, :]
+            sjr = jwin[slot, s, 4:5, :]
         if observe:
-            vjr = jwin[s, 5:6, :]
+            vjr = jwin[slot, s, 5:6, :]
 
         for b in range(G):
             sl = slice(b * CL, (b + 1) * CL)
@@ -289,7 +345,7 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
                     # (CL,1), mtj (1,W) — the product broadcasts per candidate)
                     T = nrow // 2
                     tiv = ipack_ref[sl, 7:8]   # (CL,1) narrow load; cheap
-                    tjv = jwin[s, 7:8, :]      # shared across b — Mosaic CSEs
+                    tjv = jwin[slot, s, 7:8, :]      # shared across b — Mosaic CSEs
                     e00 = e01 = e10 = e11 = None
                     f00 = f01 = f10 = f11 = None
                     for (tci, tcj, ids) in classes:
@@ -356,15 +412,30 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
                 # UCG partner (conservative reduced derivative, state-1
                 # slot): -(u11-u01 + kT ln(p11/p01)); CG partner:
                 # -(u_{s0} + kT ln p_s) with the hoisted per-i logs.
-                p01 = pj1 - p11
-                lr = jnp.log(jnp.maximum(p11, 1e-12)
-                             / jnp.maximum(p01, 1e-12))
+                # ln(p11/p01) from the closed-form root (stable — see
+                # models/pair_bethe.bethe_log_ratio; p01 = pj1 - p11
+                # cancels catastrophically in f32, PARITY 3b).  In-kernel
+                # the xk <= 40 clamp keeps E^2 finite in f32, so the
+                # unscaled form suffices.
+                if mf:
+                    lr = (jnp.log(jnp.maximum(pi1, 1e-12))
+                          - jnp.log(jnp.maximum(1.0 - pi1, 1e-12)))
+                else:
+                    Est = bb * (pj1 - pi1) + (1.0 - pi1 - pj1)
+                    Dst = jnp.sqrt(Est * Est
+                                   + (4.0 * bb) * (pi1 * (1.0 - pi1)))
+                    lr = jnp.where(
+                        Est >= 0.0,
+                        xk + jnp.log(jnp.maximum(2.0 * pi1, 1e-12))
+                        - jnp.log(jnp.maximum(Est + Dst, 1e-12)),
+                        jnp.log(jnp.maximum(Dst - Est, 1e-12))
+                        - jnp.log(jnp.maximum(2.0 * (1.0 - pi1), 1e-12)))
                 pf1_u = (eB + eD) + kT * lr
                 if dstat is None:
                     pf0_c = zero
                     pf1_c = pf1_u
                 else:
-                    tjv_d = jwin[s, 7:8, :]
+                    tjv_d = jwin[slot, s, 7:8, :]
                     jug = None
                     for t in dstat:
                         m = (tjv_d == float(t))
@@ -422,7 +493,7 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
                     if dstat[1] is not None:
                         # plain partners take the pseudolikelihood form at
                         # sj=0 (scenario-3 tallies, :443-447)
-                        tjv_s = jwin[s, 7:8, :]
+                        tjv_s = jwin[slot, s, 7:8, :]
                         jug = None
                         for t in dstat[1]:
                             m = (tjv_s == float(t))
@@ -476,14 +547,16 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
 def _call_windows(kern, cl: colpack.ColumnList, scal, ipack, pages,
                   observe: bool, interpret: bool):
     """Shared pallas_call scaffolding: one program per (column, group) with
-    9 window DMAs; (n_slots, 8) per-atom outputs (+ per-program partials
-    when ``observe``)."""
+    9 window DMAs (cross-program pipelined when compiled — see
+    _window_prologue); (n_slots, 8) per-atom outputs (+ per-program
+    partials when ``observe``)."""
     dtype = jnp.float32
     gs = cl.gs
     n_prog = cl.n_prog
     meta = cl.meta
     if meta.shape[0] % 8:
         meta = jnp.pad(meta, ((0, -meta.shape[0] % 8), (0, 0)))
+    n_mblk = meta.shape[0] // 8
 
     out_specs = [
         pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM)]
@@ -500,6 +573,11 @@ def _call_windows(kern, cl: colpack.ColumnList, scal, ipack, pages,
             pl.BlockSpec((1, 8), lambda p: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 32), lambda p: (p // 8, 0),
                          memory_space=pltpu.SMEM),
+            # the NEXT meta block (clamped): the prefetch of program p+1's
+            # windows at 8-row block boundaries reads its row from here
+            pl.BlockSpec((8, 32),
+                         lambda p: (jnp.minimum(p // 8 + 1, n_mblk - 1), 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((gs, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
             # pages stay in HBM; window DMAs slice only the untiled leading
             # dims (page id, padded column), never the (8, W) tile
@@ -508,14 +586,14 @@ def _call_windows(kern, cl: colpack.ColumnList, scal, ipack, pages,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((NSTEN, 8, W), dtype),
-            pltpu.SemaphoreType.DMA((NSTEN,)),
+            pltpu.VMEM((2, NSTEN, 8, W), dtype),    # 2-slot window ring
+            pltpu.SemaphoreType.DMA((2, NSTEN)),
         ],
         interpret=interpret,
-    )(scal, meta, ipack, pages)
+    )(scal, meta, meta, ipack, pages)
 
 
-def _kernel_cv(G, observe, mode, dstat, *refs0):
+def _kernel_cv(G, observe, mode, dstat, pipelined, *refs0):
     """Geometry-only window kernels for the density styles (P3): no tables,
     no state mixing — same window/DMA scaffolding as :func:`_kernel`.
 
@@ -533,34 +611,16 @@ def _kernel_cv(G, observe, mode, dstat, *refs0):
     backforce_derivative / P4 conservative_sign), "pder" = +dw/dr (P4
     reference-literal, :480), "w" = w(r) (P3 reference-literal, :719).
     """
-    scal_ref, meta_ref, ipack_ref, pages_ref, *refs = refs0
+    scal_ref, meta_cur, meta_nxt, ipack_ref, pages_ref, *refs = refs0
     if observe:
         out_ref, out2_ref, jwin, sems = refs
     else:
         out_ref, jwin, sems = refs
         out2_ref = None
-    mrow = pl.program_id(0) % 8
 
-    def window_dma(s):
-        c = meta_ref[mrow, s]
-        page = meta_ref[mrow, NSTEN + s]
-        return pltpu.make_async_copy(
-            pages_ref.at[page, c], jwin.at[s], sems.at[s])
-
-    for s in range(NSTEN):
-        window_dma(s).start()
-
-    Lx = scal_ref[0, 0]
-    Ly = scal_ref[0, 1]
     cutsq = scal_ref[0, 2]
-
-    for s in range(NSTEN):
-        window_dma(s).wait()
-        code = meta_ref[mrow, 2 * NSTEN + s]
-        sx = (code // 3 - 1).astype(jnp.float32)
-        sy = (code % 3 - 1).astype(jnp.float32)
-        jwin[s, 0:1, :] = jwin[s, 0:1, :] + sx * Lx
-        jwin[s, 1:2, :] = jwin[s, 1:2, :] + sy * Ly
+    slot = _window_prologue(pipelined, scal_ref, meta_cur, meta_nxt,
+                            pages_ref, jwin, sems)
 
     rads, gform = dstat
 
@@ -597,15 +657,15 @@ def _kernel_cv(G, observe, mode, dstat, *refs0):
                  for _ in range(G)]
 
     for s in range(NSTEN):
-        xj = jwin[s, 0:1, :]
-        yj = jwin[s, 1:2, :]
-        zj = jwin[s, 2:3, :]
+        xj = jwin[slot, s, 0:1, :]
+        yj = jwin[slot, s, 1:2, :]
+        zj = jwin[slot, s, 2:3, :]
         if mode == "cv":
-            cj = jwin[s, 3:4, :]
-            rj = (rad_of(jwin[s, 7:8, :]) if len(rads) > 1
+            cj = jwin[slot, s, 3:4, :]
+            rj = (rad_of(jwin[slot, s, 7:8, :]) if len(rads) > 1
                   else rads[0][1])
         if observe:
-            vjr = jwin[s, 5:6, :]
+            vjr = jwin[slot, s, 5:6, :]
 
         for b in range(G):
             dx = xi_b[b] - xj
@@ -673,7 +733,8 @@ def _kernel_cv(G, observe, mode, dstat, *refs0):
 def _run_kernel_cv(cl: colpack.ColumnList, scal, ipack, pages,
                    observe: bool, mode: str, dstat, interpret):
     interpret = _auto_interpret(interpret)
-    kern = functools.partial(_kernel_cv, cl.G, observe, mode, dstat)
+    kern = functools.partial(_kernel_cv, cl.G, observe, mode, dstat,
+                             not interpret)
     return _call_windows(kern, cl, scal, ipack, pages, observe, interpret)
 
 
@@ -712,7 +773,8 @@ def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
     else:
         ce = [[float(c) for c in row] for row in ce_np]
     kern = functools.partial(_kernel, ce, cheb.degree, G, observe, style,
-                             mf, classes, dform, want_scores, dstat)
+                             mf, classes, dform, want_scores, dstat,
+                             not interpret)
     return _call_windows(kern, cl, scal, ipack, pages, observe, interpret)
 
 

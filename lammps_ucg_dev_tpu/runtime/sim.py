@@ -43,6 +43,7 @@ class SimConfig:
     units: str = "lj"
     integrator: fi.IntegratorCfg = fi.IntegratorCfg()
     langevin: fl.LangevinCfg | None = None
+    vlangevin: fl.VLangevinCfg | None = None   # stock velocity thermostat
     ucgstate: fs.UCGStateCfg | None = None
     reneigh_every: int = 10
     reneigh_check: bool = True    # neigh_modify check yes|no: rebuild at
@@ -63,9 +64,13 @@ class SimConfig:
     @property
     def kT(self) -> float:
         """Thermostat target kT seen by pair styles at init
-        (pair init_style pulls t_target; pair_table_ucgld.cpp:872-881)."""
+        (pair init_style pulls t_target; pair_table_ucgld.cpp:872-881 —
+        "any thermostat fix": λ-Langevin first, else the stock velocity
+        Langevin)."""
         if self.langevin is not None:
             return self.u.boltz * self.langevin.t_start
+        if self.vlangevin is not None:
+            return self.u.boltz * self.vlangevin.t_start
         return 0.0
 
 
@@ -232,6 +237,16 @@ class Simulation:
             key, sub = jax.random.split(key)
             tT = fl.t_target(cfg.langevin, state.step, run_window[0], run_window[1])
             ucgforce = ucgforce + fl.post_force(sub, state, tT, cfg.dt, u, cfg.langevin)
+        if cfg.vlangevin is not None and cfg.vlangevin.enabled:
+            # stock fix langevin on velocities (post_force; drag + kick do
+            # not enter pe/virial, matching LAMMPS per-pair virial tallies)
+            key, sub = jax.random.split(key)
+            tTv = fl.t_target(cfg.vlangevin, state.step, run_window[0],
+                              run_window[1])
+            mass = self._masses_by_type[state.typ]
+            fout = dataclasses.replace(
+                fout, f=fout.f + fl.post_force_v(sub, state, mass, tTv,
+                                                 cfg.dt, u, cfg.vlangevin))
         if cfg.integrator.wall and cfg.integrator.bias_potential:
             bf = fi.bias_force(state.ucgl, cfg.integrator.barrier)
             g = fi.group_mask(cfg.integrator, state)

@@ -190,9 +190,10 @@ def main():
     # staged kernel inputs (exactly compute_slot's, built once)
     is_ucg = tp.n_states[ss.typ] > 1
     lam_eff = jnp.where(is_ucg, ss.ucgl, 0.0)
-    attrs, pages = jax.jit(functools.partial(
-        pallas_pair._pack_dispatch, True, nbr))(
-        ss.box, ss.x, lam_eff, ss.ucgstate, jnp.float32)
+    attrs, pages = jax.jit(
+        lambda box, x, lam, st: pallas_pair._pack_dispatch(
+            True, nbr, box, x, lam, st, jnp.float32))(
+        ss.box, ss.x, lam_eff, ss.ucgstate)
     L = ss.box.lengths.astype(jnp.float32)
     uscale, uoff = pallas_pair._u_map(cheb, jnp.float32)
     scal = jnp.stack([
