@@ -722,6 +722,26 @@ class ScriptRunner:
         t_thermo = (self.langevin.t_start if self.langevin
                     else self.vlangevin.t_start if self.vlangevin else 0.0)
         kT = u.boltz * t_thermo
+        if t_thermo == 0.0:
+            # Missing-thermostat guard.  The reference pair styles silently
+            # take T=0 from an absent thermostat (pair_table_ucgld.cpp:
+            # 872-881 leaves T unset), which for the Bethe family means
+            # exp(-J/kT) -> NaN forces with no diagnostic; FixUCGState DOES
+            # error (fix_ucgstate.cpp:152-154).  Raise for every kT-dividing
+            # consumer instead of running NaN physics.
+            style = self.pair.style if self.pair else None
+            if style in ("table_ucg_bethe", "table_ucg_bethe_density",
+                         "table_rleucg_interface"):
+                raise ValueError(
+                    f"pair_style {style} requires a thermostat fix (fix "
+                    "langevin / fix ucgld/langevin) to set the target "
+                    "temperature kT; none is defined "
+                    "(exp(-J/kT) would be NaN at kT=0)")
+            if self.ucgstate_cfg is not None:
+                raise ValueError(
+                    "FixUCGState requires a thermostat fix BEFORE ITSELF to "
+                    "set the target temperature T. "
+                    "(fix_ucgstate.cpp:152-154)")
         pair_compute, pair_params, cutoff = self._build_pair(kT)
         n = self.state.n_atoms
         # row-chunk the pair loop at large N (bounds HBM; exact)

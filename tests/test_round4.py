@@ -173,11 +173,28 @@ def test_fix_nve_leaves_lambda_untouched(tmp_path):
     assert lam0.shape == np.asarray(r2.state.ucgl).shape
 
 
-def test_unfix_langevin(tmp_path):
+def test_unfix_langevin_errors_without_thermostat(tmp_path):
+    """unfix of the only thermostat followed by run errors (a kT-dividing
+    pair style must not silently run exp(-J/0) physics; FixUCGState's
+    analogue error is fix_ucgstate.cpp:152-154)."""
     text = _nvt_bethe_deck(tmp_path, n=64, nsteps=10)
     text += "unfix 2\nrun 10\n"
     r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
                      log_callback=lambda m: None)
-    r.run_string(text)
+    with pytest.raises(ValueError, match="thermostat"):
+        r.run_string(text)
     assert r.vlangevin is None
+
+
+def test_refix_langevin_resumes(tmp_path):
+    """unfix + a replacement thermostat keeps running; the run after the
+    refix completes all steps (thermo_every=5 so the final row lands on the
+    last step)."""
+    text = _nvt_bethe_deck(tmp_path, n=64, nsteps=10)
+    text = text.replace("thermo 50", "thermo 5")
+    text += "unfix 2\nfix 5 all langevin 0.8 0.8 0.5 17\nrun 10\n"
+    r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
+                     log_callback=lambda m: None)
+    r.run_string(text)
+    assert r.vlangevin is not None
     assert r.thermo_rows[-1]["step"] == 20
