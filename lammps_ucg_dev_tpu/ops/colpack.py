@@ -59,7 +59,7 @@ _PAD_POISON = 1.0e17   # pad-slot coordinate: far enough that dx² overflows
 
 
 @pytree_dataclass(meta_fields=("mx", "my", "cz", "gz", "gzt", "czp", "G",
-                               "S"))
+                               "S", "NV"))
 class ColumnList:
     """Per-reneighbor candidate structure (fixed shapes, jit-safe).
 
@@ -90,6 +90,12 @@ class ColumnList:
     tok: jax.Array             # (ncol, gzt) bool — top-copy row t is live
     meta: jax.Array            # (n_prog, 32) int32: [9 stencil cols,
                                #  9 page ids, 9 encoded xy-image shifts, pad]
+    pk_meta: "jax.Array | None"  # (ncol, MW) int32 span codes for the
+                               # column-resident packed kernel (NV > 0):
+                               # per cluster b and stencil s, col b*9+s is
+                               # z0 | L << 12 | d << 20 (z0 = span start
+                               # slot in the stencil column, L = span
+                               # length, d = packed destination lane)
     x0: jax.Array              # (N, 3) build-time positions
     overflow: jax.Array        # () bool — any capacity/window/ghost overflow
     max_occupancy: jax.Array   # () int32 — max window span seen (<= W ok)
@@ -104,6 +110,8 @@ class ColumnList:
     czp: int                   # total slots per column (>= W; W + mult of S)
     G: int                     # i-clusters per kernel program
     S: int                     # z-page stride (pages overlap by W - S)
+    NV: int = 0                # packed candidate vregs per cluster (span
+                               # roll-concat kernel); 0 = window kernel only
 
     @property
     def ncol(self) -> int:
@@ -138,6 +146,8 @@ class ColumnSpec:
     czp: int
     G: int
     S: int
+    NV: int                    # packed candidate vregs per cluster (0 =
+                               # span metadata disabled; window kernel only)
     stencil_cols: np.ndarray   # (ncol, 9) int32, static, x-row-major
                                # (-1 = non-existent neighbor, periodic_x=False)
     periodic_x: bool = True    # False for slab virtual boxes (halos provide
@@ -250,6 +260,28 @@ def _round_czp(cz, gz, gzt, S):
     return W + int(-(-(base - W) // S) * S)
 
 
+_NV_MAX = 8
+
+
+def _span_mode() -> bool:
+    """Packed (span roll-concat) kernel toggle — on by default; set
+    ``UCG_KERNEL_SPAN=0`` to force the plain window kernel."""
+    import os
+
+    return os.environ.get("UCG_KERNEL_SPAN", "1") != "0"
+
+
+def _nv_of(max_cluster_sum: float, margin: float = 8.0) -> int:
+    """Packed vregs per cluster from the worst per-cluster span sum: the
+    span concat packs all 9 stencil spans of one 8-slot i-cluster into
+    NV·128 lanes.  Span sums are computed fresh at every rebuild (no drift
+    margin needed — the skin already covers motion between rebuilds); the
+    runtime overflow flag is the backstop for later rebuilds of a drifted
+    configuration."""
+    nv = int(-(-(max_cluster_sum + margin) // W))
+    return 0 if nv > _NV_MAX else max(nv, 1)
+
+
 def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
               G: int | None = None, S: int | None = None,
               cz: int | None = None, gz: int | None = None,
@@ -299,10 +331,15 @@ def make_spec(n_atoms: int, box_lengths, cutoff: float, skin: float = 0.4,
         gmean = rc * lam_z
         gz = int(-(-(gmean + 6.0 * math.sqrt(max(gmean, 1.0)) + 4) // CL) * CL)
     gzt = gz
+    # packed-kernel span budget: per-cluster (8-slot) mean span sum over the
+    # 9 stencil windows, with a fluctuation margin (analytic Poisson model)
+    csum = NSTEN * (CL * ratio + 2.0 * rc * lam_z)
+    NV = (_nv_of(csum + 6.0 * math.sqrt(max(csum, 1.0)))
+          if _span_mode() else 0)
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=int(cz),
                       gz=int(gz), gzt=int(gzt),
                       czp=_round_czp(cz, gz, gzt, S), G=int(G),
-                      S=int(S),
+                      S=int(S), NV=NV,
                       stencil_cols=_stencil(mx, my, periodic_x, periodic_y),
                       periodic_x=periodic_x, periodic_y=periodic_y)
 
@@ -428,9 +465,32 @@ def measure_spec(x, box_lengths, cutoff: float, skin: float = 0.4,
                  for (_, _, zcols, _) in per_cfg)
     gz = int(-(-(need_b + 4.0 * math.sqrt(max(need_b, 1.0)) + 4) // CL) * CL)
     gzt = int(-(-(need_t + 4.0 * math.sqrt(max(need_t, 1.0)) + 4) // CL) * CL)
+    # packed-kernel budget: measured worst per-CLUSTER (8-slot) span sum
+    NV = 0
+    if _span_mode():
+        max_sum = 0
+        for (_, _, zcols_c, zexts_c) in per_cfg:
+            for c in range(ncol):
+                zs = zcols_c[c]
+                if len(zs) == 0:
+                    continue
+                ngc = -(-len(zs) // CL)
+                glo = zs[np.arange(ngc) * CL] - rc
+                ghi = zs[np.minimum(np.arange(1, ngc + 1) * CL,
+                                    len(zs)) - 1] + rc
+                tot = np.zeros(ngc, np.int64)
+                for nc in sten[c]:
+                    if nc < 0:
+                        continue
+                    z0 = np.searchsorted(zexts_c[nc], glo, side="left")
+                    z1 = np.searchsorted(zexts_c[nc], ghi, side="right")
+                    tot += z1 - z0
+                if ngc:
+                    max_sum = max(max_sum, int(tot.max()))
+        NV = _nv_of(max_sum)
     return ColumnSpec(cutoff=cutoff, skin=skin, mx=mx, my=my, cz=cz,
                       gz=gz, gzt=gzt, czp=_round_czp(cz, gz, gzt, S), G=G,
-                      S=S, stencil_cols=sten, periodic_x=periodic_x,
+                      S=S, NV=NV, stencil_cols=sten, periodic_x=periodic_x,
                       periodic_y=periodic_y)
 
 
@@ -634,6 +694,57 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
         jnp.zeros((n_prog, 32 - 3 * NSTEN), jnp.int32),
     ], axis=1)
 
+    # ---- packed-kernel span codes (spec.NV > 0) ---------------------------
+    # Per 8-slot CLUSTER b and stencil window s: the true candidate span
+    # [z0c, z1c) of the stencil column's extended slots, encoded as
+    # z0 | L << 12 | d << 20 (z0 = span start slot in the column, L = span
+    # length, d = exclusive prefix sum of L over s = the packed destination
+    # lane).  The column-resident span kernel (pallas_pair._kernel_colspan)
+    # rolls each span into place and runs the pair physics on ~NV dense
+    # vregs instead of 9 quantized 128-lane windows (the VERDICT r4 #1
+    # fill problem).  pk_meta rows are per COLUMN: (ncol, cpc*9) codes.
+    pk_meta = None
+    NV = spec.NV
+    if NV > 0:
+        cpc = cz // CL
+        ci = jnp.arange(cpc, dtype=jnp.int32)
+        has_c = count[:, None] > ci[None, :] * CL
+        lo_i = jnp.minimum(ci[None, :] * CL,
+                           jnp.maximum(count[:, None] - 1, 0))
+        hi_i = jnp.clip(count[:, None] - 1, ci[None, :] * CL,
+                        (ci[None, :] + 1) * CL - 1)
+        zlo_vc = jnp.take_along_axis(z_real, lo_i, axis=1)
+        zhi_vc = jnp.take_along_axis(z_real, hi_i, axis=1)
+        far = jnp.asarray(4 * Lz, dtype)          # past every zext row
+        zlo_c = jnp.where(has_c, zlo_vc - rc, far)
+        zhi_c = jnp.where(has_c, zhi_vc + rc, far)
+        z0c_l, z1c_l = [], []
+        for s in range(NSTEN):
+            row = zext_sten[:, s, None, :]
+            z0c_l.append(jnp.sum(row < zlo_c[:, :, None], axis=-1,
+                                 dtype=jnp.int32))
+            z1c_l.append(jnp.sum(row <= zhi_c[:, :, None], axis=-1,
+                                 dtype=jnp.int32))
+        z0c = jnp.stack(z0c_l, axis=2)             # (ncol, cpc, 9)
+        z1c = jnp.stack(z1c_l, axis=2)
+        if not np.all(sten_ok):
+            okc = jnp.asarray(sten_ok)[:, None, :]
+            z0c = jnp.where(okc, z0c, 0)
+            z1c = jnp.where(okc, z1c, 0)
+        Lsp = jnp.maximum(z1c - z0c, 0)
+        d_c = jnp.cumsum(Lsp, axis=-1) - Lsp
+        kp = jnp.sum(Lsp, axis=-1)
+        pk_overflow = jnp.max(kp) > NV * W
+        owl = jnp.where(Lsp > 0, z0c + Lsp * 4096 + d_c * 1048576, 0)
+        owl = owl.reshape(ncol, cpc * NSTEN)
+        mw = -(-(cpc * NSTEN) // 8) * 8
+        pk_meta = jnp.concatenate([
+            owl.astype(jnp.int32),
+            jnp.zeros((ncol, mw - cpc * NSTEN), jnp.int32),
+        ], axis=1)
+    else:
+        pk_overflow = jnp.zeros((), bool)
+
     return ColumnList(
         slot_atom_ext=slot_atom_ext,
         zshift=zshift,
@@ -641,11 +752,14 @@ def build(x: jax.Array, box: Box, spec: ColumnSpec,
         i_valid=i_valid,
         bsrc=bsrc, bok=bok, tidx=tidx, tok=tok,
         meta=meta,
+        pk_meta=pk_meta,
         x0=x,
-        overflow=col_overflow | ghost_overflow | win_overflow,
+        overflow=(col_overflow | ghost_overflow | win_overflow
+                  | pk_overflow),
         max_occupancy=max_span,
         mean_span=mean_span,
         mx=mx, my=my, cz=cz, gz=gz, gzt=gzt, czp=czp, G=spec.G, S=S,
+        NV=NV,
     )
 
 
@@ -702,6 +816,10 @@ def pack(cl: ColumnList, box: Box, x: jax.Array, lam: jax.Array,
     ipack = ipack.at[:, 5].multiply(cl.i_valid.astype(dtype))
 
     jp = ext3.transpose(0, 2, 1)                               # (ncol, 8, czp)
+    if cl.NV > 0:
+        # column-resident span kernel: the plain attr-major column array
+        # IS the kernel input — no overlapped z-page replication at all
+        return ipack, jp
     pages = jnp.stack([jp[:, :, k * cl.S:k * cl.S + W]
                        for k in range(cl.npage)], axis=0)      # (npage,ncol,8,W)
     return ipack, pages
@@ -733,6 +851,8 @@ def pack_slots(cl: ColumnList, box: Box, attrs_real: jax.Array) -> jax.Array:
     ext = jnp.concatenate([bot, real3, tail], axis=1).reshape(-1, 8)
     ext = ext.at[cl.tidx.reshape(-1)].set(top.reshape(-1, 8), mode="drop")
     jp = ext.reshape(ncol, czp, 8).transpose(0, 2, 1)
+    if cl.NV > 0:
+        return jp            # column-resident span kernel input (no pages)
     return jnp.stack([jp[:, :, k * cl.S:k * cl.S + W]
                       for k in range(cl.npage)], axis=0)
 

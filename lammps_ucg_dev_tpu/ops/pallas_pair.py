@@ -152,6 +152,281 @@ def _window_prologue(pipelined, scal_ref, meta_cur, meta_nxt, pages_ref,
     return slot
 
 
+def _phys_tile(ce, degree, style, mf, classes, dform, want_scores,
+               want_eac, observe, dstat, sc, iv, jr, tal):
+    """Per-candidate-tile pair physics, shared by the window kernel (tiles =
+    9 stencil windows x G clusters) and the span kernel (tiles = NV packed
+    vregs x G clusters).  See :func:`_kernel` for the physics contract and
+    reference citations.
+
+    ``sc``: scalar dict (cutsq, innersq, uscale, uoff, kT).
+    ``iv``: i-side dict of (CL, 1) arrays — xi yi zi li vi + style extras
+            (pi prior, lp0/lp1 hoisted logs, ti type).
+    ``jr``: callable attr index -> (1, T) row of the j candidate tile.
+    ``tal``: accumulator dict of (CL, T) arrays; returned updated.
+    """
+    xi, yi, zi, li, vi = iv["xi"], iv["yi"], iv["zi"], iv["li"], iv["vi"]
+    xj, yj, zj, lj = jr(0), jr(1), jr(2), jr(3)
+    if want_scores:
+        sjr = jr(4)
+    if observe:
+        vjr = jr(5)
+
+    dx = xi - xj                       # tiles carry shifted x/y
+    dy = yi - yj
+    dz = zi - zj                       # ghosts carry shifted z
+    rsq = dx * dx + dy * dy + dz * dz
+
+    # pad slots carry poisoned coordinates (colpack._PAD_POISON), so
+    # rsq < cutsq covers slot validity; rsq > 0 excludes self.  The full
+    # kernel keeps the valid-flag masks as belt-and-braces for pe/virial.
+    mask = (rsq < sc["cutsq"]) & (rsq > 0.0)
+    if observe:
+        mask = mask & (vjr > 0.5) & (vi > 0.5)
+        tal["oob"] = tal["oob"] + jnp.where(
+            mask & (rsq < sc["innersq"]), 1.0, 0.0)
+
+    # lower clamp only (table inner-bin clamp); past-cutoff lanes run the
+    # recurrence unclamped (u up to ~1e34 from pad poison -> inf/NaN) —
+    # every accumulation below selects them out via ``mask``
+    u = jnp.maximum(rsq * sc["uscale"] + sc["uoff"], -1.0)
+    u2 = u + u
+
+    # shared-basis Chebyshev: one T_k recurrence, all channel dots
+    nrow = len(ce)
+    acc = [jnp.full_like(u, ce[r][0]) + ce[r][1] * u for r in range(nrow)]
+    tm2 = jnp.ones_like(u)
+    tm1 = u
+    for k in range(2, degree):
+        tk = u2 * tm1 - tm2
+        for r in range(nrow):
+            acc[r] = acc[r] + ce[r][k] * tk
+        tm2, tm1 = tm1, tk
+
+    # ---- 2x2 state block in D-form --------------------------------------
+    if dform:
+        if want_eac:
+            eA, eB, eC, eD, fA, fB, fC, fD = acc
+        else:
+            eB, eD, fA, fB, fC, fD = acc
+            eA = eC = None
+    else:
+        if classes is None:
+            e00, e01, e10, e11, f00, f01, f10, f11 = acc
+        elif len(classes) == 1:
+            # one actual type: static channel selection (honors the
+            # reference's init_one symmetrization, pair_table_ucgld.cpp:892)
+            T = nrow // 2
+            ids = classes[0][2]
+            e00, e01, e10, e11 = (acc[ids[0]], acc[ids[1]],
+                                  acc[ids[2]], acc[ids[3]])
+            f00, f01, f10, f11 = (acc[T + ids[0]], acc[T + ids[1]],
+                                  acc[T + ids[2]], acc[T + ids[3]])
+        else:
+            # class-mask-weighted 2x2 block assembly over ordered type pairs
+            T = nrow // 2
+            tiv = iv["ti"]                 # (CL,1)
+            tjv = jr(7)                    # shared across tiles — Mosaic CSEs
+            e00 = e01 = e10 = e11 = None
+            f00 = f01 = f10 = f11 = None
+            for (tci, tcj, ids) in classes:
+                mti = (tiv == float(tci)).astype(jnp.float32)
+                mtj = (tjv == float(tcj)).astype(jnp.float32)
+                m = mti * mtj
+                vals = [m * acc[ids[q]] for q in range(4)]
+                fvals = [m * acc[T + ids[q]] for q in range(4)]
+                if e00 is None:
+                    e00, e01, e10, e11 = vals
+                    f00, f01, f10, f11 = fvals
+                else:
+                    e00 = e00 + vals[0]
+                    e01 = e01 + vals[1]
+                    e10 = e10 + vals[2]
+                    e11 = e11 + vals[3]
+                    f00 = f00 + fvals[0]
+                    f01 = f01 + fvals[1]
+                    f10 = f10 + fvals[2]
+                    f11 = f11 + fvals[3]
+        eA, eB, eC = e00, e10 - e00, e01 - e00
+        eD = (e11 - e01) - (e10 - e00)
+        fA, fB, fC = f00, f10 - f00, f01 - f00
+        fD = (f11 - f01) - (f10 - f00)
+
+    zero = jnp.zeros_like(u)
+    if style == "ucgld":
+        wB = li
+        wC = lj
+        wD = li * lj
+    else:  # bethe: closed-form two-point distribution (:544-581)
+        pi1 = iv["pi"]                     # i-role prior (from ucgl)
+        pj1 = jnp.where(mask, lj, zero)    # j-role prior (from ucgp)
+        pipj = pi1 * pj1
+        kT = sc["kT"]
+        if mf or style == "rleucg":
+            # rleucg: mean-field mixing over substate probabilities
+            # (pair_table_rleucg_interface.cpp:321-441)
+            p11 = pipj
+        else:
+            # J = u11+u00-u01-u10 is exactly the D channel; f32 overflow
+            # clamp at -J/kT = 40 (see _kernel docstring / PARITY)
+            xk = jnp.minimum(-eD / kT, 40.0)
+            bb = jnp.exp(xk)
+            aa = bb - 1.0
+            Q = (pi1 + pj1) * aa + 1.0
+            D = jnp.maximum(Q * Q - 4.0 * aa * bb * pipj, 0.0)
+            sqD = jnp.sqrt(D)
+            small = jnp.abs(aa) < 1e-5
+            root_pos = 2.0 * bb * pipj / (Q + sqD)
+            root_neg = (Q - sqD) / (2.0 * jnp.where(small, 1.0, aa))
+            p11 = jnp.where(Q < 0.0, root_neg, root_pos)
+            p11 = jnp.where(small, pipj, p11)
+        wB, wC, wD = pi1, pj1, p11
+
+    if style == "dbethe":
+        # prior-probability force tallies (models/pair_bethe_density pass2;
+        # pair_table_ucg_bethe_density.cpp:514-518,650-656)
+        kT = sc["kT"]
+        if mf:
+            lr = (jnp.log(jnp.maximum(pi1, 1e-12))
+                  - jnp.log(jnp.maximum(1.0 - pi1, 1e-12)))
+        else:
+            Est = bb * (pj1 - pi1) + (1.0 - pi1 - pj1)
+            Dst = jnp.sqrt(Est * Est + (4.0 * bb) * (pi1 * (1.0 - pi1)))
+            lr = jnp.where(
+                Est >= 0.0,
+                xk + jnp.log(jnp.maximum(2.0 * pi1, 1e-12))
+                - jnp.log(jnp.maximum(Est + Dst, 1e-12)),
+                jnp.log(jnp.maximum(Dst - Est, 1e-12))
+                - jnp.log(jnp.maximum(2.0 * (1.0 - pi1), 1e-12)))
+        pf1_u = (eB + eD) + kT * lr
+        if dstat is None:
+            pf0_c = zero
+            pf1_c = pf1_u
+        else:
+            tjv_d = jr(7)
+            jug = None
+            for t in dstat:
+                m = (tjv_d == float(t))
+                jug = m if jug is None else (jug | m)
+            pf0_cg = eA + kT * iv["lp0"]
+            pf1_cg = (eA + eB) + kT * iv["lp1"]
+            pf0_c = jnp.where(jug, zero, pf0_cg)
+            pf1_c = jnp.where(jug, pf1_u, pf1_cg)
+        tal["pf0"] = tal["pf0"] - jnp.where(mask, pf0_c, zero)
+        tal["pf1"] = tal["pf1"] - jnp.where(mask, pf1_c, zero)
+    if style == "rleucg" and dstat:
+        # two-body probability feedback (:427-435):
+        # pf_0 = -Σ_β p_jβ (u_0β - u_1β) = eB + pj1·eD
+        tal["pf0"] = tal["pf0"] + jnp.where(mask, eB + pj1 * eD, zero)
+
+    fmix = jnp.where(mask, fA + wB * fB + wC * fC + wD * fD, zero)
+    tal["fx"] = tal["fx"] + fmix * dx
+    tal["fy"] = tal["fy"] + fmix * dy
+    tal["fz"] = tal["fz"] + fmix * dz
+    if style == "ucgld":
+        # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00)) = -(eB + lj eD)
+        tal["lamf"] = tal["lamf"] - jnp.where(mask, eB + lj * eD, zero)
+    if observe:
+        emix = jnp.where(mask, eA + wB * eB + wC * eC + wD * eD, zero)
+        tal["pe"] = tal["pe"] + emix
+        vir = tal["vir"]
+        vir[0] = vir[0] + fmix * dx * dx
+        vir[1] = vir[1] + fmix * dy * dy
+        vir[2] = vir[2] + fmix * dz * dz
+        vir[3] = vir[3] + fmix * dx * dy
+        vir[4] = vir[4] + fmix * dx * dz
+        vir[5] = vir[5] + fmix * dy * dz
+
+    if want_scores:
+        if style == "bethe" and dstat is not None and dstat[0]:
+            # full-SCE conditional expectations (``pseudo no``,
+            # pair_table_ucg_bethe.cpp:583-601 intended pairing)
+            p0e = jnp.maximum(1.0 - pi1, 1e-6)
+            p1e = jnp.maximum(pi1, 1e-6)
+            p00 = 1.0 + p11 - pi1 - pj1
+            p01v = pj1 - p11
+            p10 = pi1 - p11
+            c00 = p00 / p0e
+            c01 = p01v / p0e
+            c10 = p10 / p1e
+            c11 = p11 / p1e
+            sc0 = c00 * eA + c01 * (eA + eC)
+            sc1 = (c10 * (eA + eB) + c11 * ((eA + eB) + (eC + eD)))
+            if dstat[1] is not None:
+                # plain partners take the pseudolikelihood form at sj=0
+                tjv_s = jr(7)
+                jug = None
+                for t in dstat[1]:
+                    m = (tjv_s == float(t))
+                    jug = m if jug is None else (jug | m)
+                sc0 = jnp.where(jug, sc0, eA)
+                sc1 = jnp.where(jug, sc1, eA + eB)
+            tal["s0"] = tal["s0"] - jnp.where(mask, sc0, zero)
+            tal["s1"] = tal["s1"] - jnp.where(mask, sc1, zero)
+        else:
+            # pseudolikelihood scores at the partner's discrete state
+            tal["s0"] = tal["s0"] - jnp.where(mask, eA + sjr * eC, zero)
+            tal["s1"] = tal["s1"] - jnp.where(
+                mask, (eA + eB) + sjr * (eC + eD), zero)
+    return tal
+
+
+def _tal_init(style, want_scores, observe, shape):
+    """Fresh accumulator dict for :func:`_phys_tile`."""
+    z = lambda: jnp.zeros(shape, jnp.float32)  # noqa: E731
+    tal = {"fx": z(), "fy": z(), "fz": z()}
+    if style == "ucgld":
+        tal["lamf"] = z()
+    if style in ("dbethe", "rleucg"):
+        tal["pf0"] = z()
+    if style == "dbethe":
+        tal["pf1"] = z()
+    if want_scores:
+        tal["s0"] = z()
+        tal["s1"] = z()
+    if observe:
+        tal["pe"] = z()
+        tal["vir"] = [z() for _ in range(6)]
+        tal["oob"] = z()
+    return tal
+
+
+def _iv_of(itile, style, classes, observe):
+    """i-side (CL, 1) attribute dict from an (CL, 8) i-cluster tile
+    (hoisted loads + per-cluster log hoists)."""
+    iv = {"xi": itile[:, 0:1], "yi": itile[:, 1:2],
+          "zi": itile[:, 2:3], "li": itile[:, 3:4],
+          "vi": itile[:, 5:6]}
+    if style != "ucgld":
+        iv["pi"] = itile[:, 6:7]
+    if style == "dbethe":
+        # CG-partner prior-force terms: hoist the 2 logs per cluster
+        iv["lp0"] = jnp.log(jnp.maximum(1.0 - iv["pi"], 1e-12))
+        iv["lp1"] = jnp.log(jnp.maximum(iv["pi"], 1e-12))
+    if classes is not None and len(classes) > 1:
+        iv["ti"] = itile[:, 7:8]
+    return iv
+
+
+def _tal_tile(tal, style, want_scores):
+    """Reduce a cluster's tallies into ONE (CL, 8) output tile (a single
+    store at the call site — dynamic-offset stores are expensive)."""
+    red = lambda a: jnp.sum(a, axis=1, keepdims=True)  # noqa: E731
+    zcol = jnp.zeros((CL, 1), jnp.float32)
+    if style == "ucgld":
+        c3 = red(tal["lamf"])
+    elif style in ("dbethe", "rleucg"):
+        c3 = red(tal["pf0"])
+    else:
+        c3 = zcol
+    c45 = ([red(tal["s0"]), red(tal["s1"])] if want_scores
+           else [zcol, zcol])
+    c6 = red(tal["pf1"]) if style == "dbethe" else zcol
+    return jnp.concatenate(
+        [red(tal["fx"]), red(tal["fy"]), red(tal["fz"]), c3, *c45, c6,
+         zcol], axis=1)
+
+
 def _kernel(ce, degree, G, observe, style, mf, classes,
             dform, want_scores, dstat, pipelined, *refs0):
     """One program: G i-clusters vs 9 DMA'd stencil-column windows.
@@ -211,10 +486,9 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
         out_ref, jwin, sems = refs
         out2_ref = None
 
-    cutsq = scal_ref[0, 2]
-    innersq = scal_ref[0, 3]
-    uscale = scal_ref[0, 4]
-    uoff = scal_ref[0, 5]
+    sc = {"cutsq": scal_ref[0, 2], "innersq": scal_ref[0, 3],
+          "uscale": scal_ref[0, 4], "uoff": scal_ref[0, 5],
+          "kT": scal_ref[0, 6]}
 
     # windows land in jwin[slot] with the xy periodic image shift applied
     # (colpack._stencil_shifts: the column relationship statically
@@ -223,318 +497,36 @@ def _kernel(ce, degree, G, observe, style, mf, classes,
     slot = _window_prologue(pipelined, scal_ref, meta_cur, meta_nxt,
                             pages_ref, jwin, sems)
 
-    if observe:
-        pe_t = jnp.zeros((), jnp.float32)
-        vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
-        oob_t = jnp.zeros((), jnp.float32)
-
     want_eac = want_scores or observe or style != "ucgld"
     # loop order: STENCIL WINDOW outer, cluster inner — the 4-6 j-attribute
     # row loads are issued once per window instead of once per (cluster,
     # window); per-cluster accumulators persist across the window loop
-    xi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 0:1] for b in range(G)]
-    yi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 1:2] for b in range(G)]
-    zi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 2:3] for b in range(G)]
-    li_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 3:4] for b in range(G)]
-    vi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 5:6] for b in range(G)]
-
-    def zeros_b():
-        return [jnp.zeros((CL, W), jnp.float32) for _ in range(G)]
-
-    fx_b, fy_b, fz_b = zeros_b(), zeros_b(), zeros_b()
-    if style == "ucgld":
-        lamf_b = zeros_b()
-    if style == "dbethe":
-        # CG-partner prior-force terms need ln p_s of the i-atom's density
-        # prior (pi1 rides ipack attr 6): hoist the 2 logs per cluster
-        pi_c = [ipack_ref[slice(b * CL, (b + 1) * CL), 6:7]
-                for b in range(G)]
-        lp0_b = [jnp.log(jnp.maximum(1.0 - p, 1e-12)) for p in pi_c]
-        lp1_b = [jnp.log(jnp.maximum(p, 1e-12)) for p in pi_c]
-        pf0_b, pf1_b = zeros_b(), zeros_b()
-    if style == "rleucg":
-        pf0_b = zeros_b()
-    if want_scores:
-        s0_b, s1_b = zeros_b(), zeros_b()
-    if observe:
-        pe_b = zeros_b()
-        vir_b = [[jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
-                 for _ in range(G)]
-        oob_b = zeros_b()
+    iv_b = [_iv_of(ipack_ref[b * CL:(b + 1) * CL, :], style, classes,
+                   observe) for b in range(G)]
+    tal_b = [_tal_init(style, want_scores, observe, (CL, W))
+             for _ in range(G)]
 
     for s in range(NSTEN):
-        xj = jwin[slot, s, 0:1, :]
-        yj = jwin[slot, s, 1:2, :]
-        zj = jwin[slot, s, 2:3, :]
-        lj = jwin[slot, s, 3:4, :]
-        if want_scores:
-            sjr = jwin[slot, s, 4:5, :]
-        if observe:
-            vjr = jwin[slot, s, 5:6, :]
+        def jr_s(a, _s=s):
+            return jwin[slot, _s, a:a + 1, :]
 
         for b in range(G):
-            sl = slice(b * CL, (b + 1) * CL)
-            xi, yi, zi, li, vi = (xi_b[b], yi_b[b], zi_b[b], li_b[b],
-                                  vi_b[b])
-            fx, fy, fz = fx_b[b], fy_b[b], fz_b[b]
-            if style == "ucgld":
-                lamf = lamf_b[b]
-            if want_scores:
-                s0, s1 = s0_b[b], s1_b[b]
-            if observe:
-                pe = pe_b[b]
-                vir = vir_b[b]
-                oob = oob_b[b]
+            tal_b[b] = _phys_tile(ce, degree, style, mf, classes, dform,
+                                  want_scores, want_eac, observe, dstat,
+                                  sc, iv_b[b], jr_s, tal_b[b])
 
-            dx = xi - xj                       # windows carry shifted x/y
-            dy = yi - yj
-            dz = zi - zj                       # ghosts carry shifted z
-            rsq = dx * dx + dy * dy + dz * dz
-
-            # pad slots carry poisoned coordinates (colpack._PAD_POISON), so
-            # rsq < cutsq covers slot validity; rsq > 0 excludes self (a pair
-            # of distinct atoms at the exact same position would be singular
-            # in any MD formulation).  The full kernel keeps the valid-flag
-            # masks as belt-and-braces for pe/virial exactness.
-            mask = (rsq < cutsq) & (rsq > 0.0)
-            if observe:
-                mask = mask & (vjr > 0.5) & (vi > 0.5)
-                oob = oob + jnp.where(mask & (rsq < innersq), 1.0, 0.0)
-
-            # lower clamp only (table inner-bin clamp); past-cutoff lanes run
-            # the recurrence unclamped (u up to ~1e34 from pad poison → inf/
-            # NaN) — every accumulation below selects them out via ``mask``
-            u = jnp.maximum(rsq * uscale + uoff, -1.0)
-            u2 = u + u
-
-            # shared-basis Chebyshev: one T_k recurrence, all channel dots
-            nrow = len(ce)
-            acc = [jnp.full_like(u, ce[r][0]) + ce[r][1] * u
-                   for r in range(nrow)]
-            tm2 = jnp.ones_like(u)
-            tm1 = u
-            for k in range(2, degree):
-                tk = u2 * tm1 - tm2
-                for r in range(nrow):
-                    acc[r] = acc[r] + ce[r][k] * tk
-                tm2, tm1 = tm1, tk
-
-            # ---- 2x2 state block in D-form ----------------------------------
-            if dform:
-                if want_eac:
-                    eA, eB, eC, eD, fA, fB, fC, fD = acc
-                else:
-                    eB, eD, fA, fB, fC, fD = acc
-                    eA = eC = None
-            else:
-                if classes is None:
-                    e00, e01, e10, e11, f00, f01, f10, f11 = acc
-                elif len(classes) == 1:
-                    # one actual type: static channel selection (honors the
-                    # reference's init_one symmetrization where the 01 table
-                    # serves both cross combos, pair_table_ucgld.cpp:892)
-                    T = nrow // 2
-                    ids = classes[0][2]
-                    e00, e01, e10, e11 = (acc[ids[0]], acc[ids[1]],
-                                          acc[ids[2]], acc[ids[3]])
-                    f00, f01, f10, f11 = (acc[T + ids[0]], acc[T + ids[1]],
-                                          acc[T + ids[2]], acc[T + ids[3]])
-                else:
-                    # class-mask-weighted 2x2 block assembly: ordered type
-                    # pairs select which channel rows form e00..f11 (mti is
-                    # (CL,1), mtj (1,W) — the product broadcasts per candidate)
-                    T = nrow // 2
-                    tiv = ipack_ref[sl, 7:8]   # (CL,1) narrow load; cheap
-                    tjv = jwin[slot, s, 7:8, :]      # shared across b — Mosaic CSEs
-                    e00 = e01 = e10 = e11 = None
-                    f00 = f01 = f10 = f11 = None
-                    for (tci, tcj, ids) in classes:
-                        mti = (tiv == float(tci)).astype(jnp.float32)
-                        mtj = (tjv == float(tcj)).astype(jnp.float32)
-                        m = mti * mtj
-                        vals = [m * acc[ids[q]] for q in range(4)]
-                        fvals = [m * acc[T + ids[q]] for q in range(4)]
-                        if e00 is None:
-                            e00, e01, e10, e11 = vals
-                            f00, f01, f10, f11 = fvals
-                        else:
-                            e00 = e00 + vals[0]
-                            e01 = e01 + vals[1]
-                            e10 = e10 + vals[2]
-                            e11 = e11 + vals[3]
-                            f00 = f00 + fvals[0]
-                            f01 = f01 + fvals[1]
-                            f10 = f10 + fvals[2]
-                            f11 = f11 + fvals[3]
-                eA, eB, eC = e00, e10 - e00, e01 - e00
-                eD = (e11 - e01) - (e10 - e00)
-                fA, fB, fC = f00, f10 - f00, f01 - f00
-                fD = (f11 - f01) - (f10 - f00)
-
-            zero = jnp.zeros_like(u)
-            if style == "ucgld":
-                wB = li
-                wC = lj
-                wD = li * lj
-            else:  # bethe: closed-form two-point distribution (:544-581)
-                pi1 = ipack_ref[sl, 6:7]       # i-role prior (from ucgl)
-                pj1 = jnp.where(mask, lj, zero)  # j-role prior (from ucgp)
-                pipj = pi1 * pj1
-                kT = scal_ref[0, 6]
-                if mf or style == "rleucg":
-                    # rleucg: mean-field mixing over substate probabilities
-                    # (pair_table_rleucg_interface.cpp:321-441) — identical
-                    # weight structure to "method mf"
-                    p11 = pipj
-                else:
-                    # J = u11+u00-u01-u10 is exactly the D channel
-                    # overflow guard: the reference clamps at -700 kT
-                    # (f64, :545-548); in f32 the closed form's Q² term
-                    # overflows past e^44, so clamp at 40 — beyond it p11
-                    # is saturated to the aligned limit within ~e-40 anyway
-                    xk = jnp.minimum(-eD / kT, 40.0)
-                    bb = jnp.exp(xk)
-                    aa = bb - 1.0                      # expm1: the |a|<eps
-                    # mean-field fallback below covers the cancellation zone
-                    Q = (pi1 + pj1) * aa + 1.0
-                    D = jnp.maximum(Q * Q - 4.0 * aa * bb * pipj, 0.0)
-                    sqD = jnp.sqrt(D)
-                    small = jnp.abs(aa) < 1e-5
-                    root_pos = 2.0 * bb * pipj / (Q + sqD)
-                    root_neg = (Q - sqD) / (2.0 * jnp.where(small, 1.0, aa))
-                    p11 = jnp.where(Q < 0.0, root_neg, root_pos)
-                    p11 = jnp.where(small, pipj, p11)
-                wB, wC, wD = pi1, pj1, p11
-
-            if style == "dbethe":
-                # prior-probability force tallies (models/pair_bethe_density
-                # pass2; pair_table_ucg_bethe_density.cpp:514-518,650-656).
-                # UCG partner (conservative reduced derivative, state-1
-                # slot): -(u11-u01 + kT ln(p11/p01)); CG partner:
-                # -(u_{s0} + kT ln p_s) with the hoisted per-i logs.
-                # ln(p11/p01) from the closed-form root (stable — see
-                # models/pair_bethe.bethe_log_ratio; p01 = pj1 - p11
-                # cancels catastrophically in f32, PARITY 3b).  In-kernel
-                # the xk <= 40 clamp keeps E^2 finite in f32, so the
-                # unscaled form suffices.
-                if mf:
-                    lr = (jnp.log(jnp.maximum(pi1, 1e-12))
-                          - jnp.log(jnp.maximum(1.0 - pi1, 1e-12)))
-                else:
-                    Est = bb * (pj1 - pi1) + (1.0 - pi1 - pj1)
-                    Dst = jnp.sqrt(Est * Est
-                                   + (4.0 * bb) * (pi1 * (1.0 - pi1)))
-                    lr = jnp.where(
-                        Est >= 0.0,
-                        xk + jnp.log(jnp.maximum(2.0 * pi1, 1e-12))
-                        - jnp.log(jnp.maximum(Est + Dst, 1e-12)),
-                        jnp.log(jnp.maximum(Dst - Est, 1e-12))
-                        - jnp.log(jnp.maximum(2.0 * (1.0 - pi1), 1e-12)))
-                pf1_u = (eB + eD) + kT * lr
-                if dstat is None:
-                    pf0_c = zero
-                    pf1_c = pf1_u
-                else:
-                    tjv_d = jwin[slot, s, 7:8, :]
-                    jug = None
-                    for t in dstat:
-                        m = (tjv_d == float(t))
-                        jug = m if jug is None else (jug | m)
-                    pf0_cg = eA + kT * lp0_b[b]
-                    pf1_cg = (eA + eB) + kT * lp1_b[b]
-                    pf0_c = jnp.where(jug, zero, pf0_cg)
-                    pf1_c = jnp.where(jug, pf1_u, pf1_cg)
-                pf0_b[b] = pf0_b[b] - jnp.where(mask, pf0_c, zero)
-                pf1_b[b] = pf1_b[b] - jnp.where(mask, pf1_c, zero)
-            if style == "rleucg" and dstat:
-                # two-body probability feedback (:427-435), explicit
-                # substate 0 of a 2-substate type:
-                # pf_0 = -Σ_β p_jβ (u_0β - u_1β) = eB + pj1·eD
-                pf0_b[b] = pf0_b[b] + jnp.where(mask, eB + pj1 * eD, zero)
-
-            fmix = jnp.where(mask, fA + wB * fB + wC * fC + wD * fD, zero)
-            fx_b[b] = fx + fmix * dx
-            fy_b[b] = fy + fmix * dy
-            fz_b[b] = fz + fmix * dz
-            if style == "ucgld":
-                # λ-force: -(lj (e11-e01) + (1-lj)(e10-e00)) = -(eB + lj eD)
-                lamf_b[b] = lamf - jnp.where(mask, eB + lj * eD, zero)
-            if observe:
-                emix = jnp.where(mask, eA + wB * eB + wC * eC + wD * eD,
-                                 zero)
-                pe_b[b] = pe + emix
-                vir[0] = vir[0] + fmix * dx * dx
-                vir[1] = vir[1] + fmix * dy * dy
-                vir[2] = vir[2] + fmix * dz * dz
-                vir[3] = vir[3] + fmix * dx * dy
-                vir[4] = vir[4] + fmix * dx * dz
-                vir[5] = vir[5] + fmix * dy * dz
-                oob_b[b] = oob
-
-            if want_scores:
-                if style == "bethe" and dstat is not None and dstat[0]:
-                    # full-SCE conditional expectations (``pseudo no``,
-                    # pair_table_ucg_bethe.cpp:583-601 intended pairing):
-                    # score_si = -Σ_sj p(sj|si) u(si,sj), with
-                    # p(sj|si) = p4[si,sj]/max(p_si, ε).  In the D-form:
-                    # s0 = -(c00+c01) eA - c01 eC,  cij = p_ij/p_i
-                    p0e = jnp.maximum(1.0 - pi1, 1e-6)
-                    p1e = jnp.maximum(pi1, 1e-6)
-                    p00 = 1.0 + p11 - pi1 - pj1
-                    p01v = pj1 - p11
-                    p10 = pi1 - p11
-                    c00 = p00 / p0e
-                    c01 = p01v / p0e
-                    c10 = p10 / p1e
-                    c11 = p11 / p1e
-                    sc0 = c00 * eA + c01 * (eA + eC)
-                    sc1 = (c10 * (eA + eB)
-                           + c11 * ((eA + eB) + (eC + eD)))
-                    if dstat[1] is not None:
-                        # plain partners take the pseudolikelihood form at
-                        # sj=0 (scenario-3 tallies, :443-447)
-                        tjv_s = jwin[slot, s, 7:8, :]
-                        jug = None
-                        for t in dstat[1]:
-                            m = (tjv_s == float(t))
-                            jug = m if jug is None else (jug | m)
-                        sc0 = jnp.where(jug, sc0, eA)
-                        sc1 = jnp.where(jug, sc1, eA + eB)
-                    s0_b[b] = s0 - jnp.where(mask, sc0, zero)
-                    s1_b[b] = s1 - jnp.where(mask, sc1, zero)
-                else:
-                    # pseudolikelihood scores at the partner's discrete
-                    # state (sj ∈ {0.0, 1.0} exactly: a clean FMA)
-                    s0_b[b] = s0 - jnp.where(mask, eA + sjr * eC, zero)
-                    s1_b[b] = s1 - jnp.where(
-                        mask, (eA + eB) + sjr * (eC + eD), zero)
-
+    if observe:
+        pe_t = jnp.zeros((), jnp.float32)
+        vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
+        oob_t = jnp.zeros((), jnp.float32)
     for b in range(G):
-        sl = slice(b * CL, (b + 1) * CL)
-        out_ref[sl, 0:1] = jnp.sum(fx_b[b], axis=1, keepdims=True)
-        out_ref[sl, 1:2] = jnp.sum(fy_b[b], axis=1, keepdims=True)
-        out_ref[sl, 2:3] = jnp.sum(fz_b[b], axis=1, keepdims=True)
-        zcol = jnp.zeros((CL, 1), jnp.float32)
-        if style == "ucgld":
-            out_ref[sl, 3:4] = jnp.sum(lamf_b[b], axis=1, keepdims=True)
-        elif style in ("dbethe", "rleucg"):
-            out_ref[sl, 3:4] = jnp.sum(pf0_b[b], axis=1, keepdims=True)
-        else:
-            out_ref[sl, 3:4] = zcol
-        if want_scores:
-            out_ref[sl, 4:5] = jnp.sum(s0_b[b], axis=1, keepdims=True)
-            out_ref[sl, 5:6] = jnp.sum(s1_b[b], axis=1, keepdims=True)
-        else:
-            out_ref[sl, 4:6] = jnp.zeros((CL, 2), jnp.float32)
-        out_ref[sl, 6:7] = (jnp.sum(pf1_b[b], axis=1, keepdims=True)
-                            if style == "dbethe" else zcol)
-        out_ref[sl, 7:8] = zcol
-
+        out_ref[b * CL:(b + 1) * CL, :] = _tal_tile(tal_b[b], style,
+                                                    want_scores)
         if observe:
-            pe_t = pe_t + jnp.sum(pe_b[b])
+            pe_t = pe_t + jnp.sum(tal_b[b]["pe"])
             for v in range(6):
-                vir_t[v] = vir_t[v] + jnp.sum(vir_b[b][v])
-            oob_t = oob_t + jnp.sum(oob_b[b])
+                vir_t[v] = vir_t[v] + jnp.sum(tal_b[b]["vir"][v])
+            oob_t = oob_t + jnp.sum(tal_b[b]["oob"])
 
     if observe:
         row = jnp.concatenate([
@@ -593,6 +585,213 @@ def _call_windows(kern, cl: colpack.ColumnList, scal, ipack, pages,
     )(scal, meta, meta, ipack, pages)
 
 
+def _call_colspan(kern, cl: colpack.ColumnList, scal, ipack, cols,
+                  observe: bool, interpret: bool):
+    """pallas_call scaffolding for the column-resident span kernels: one
+    program per COLUMN.  ``cols`` is the plain (ncol, 8, czp) attr-major
+    column array (colpack.pack/pack_slots with cl.NV > 0); the nine
+    stencil-column blocks are regular pipelined inputs with arithmetic
+    index maps (grid wrap), so the Pallas pipeline prefetches and
+    double-buffers them — no manual DMA anywhere."""
+    dtype = jnp.float32
+    ncol = cl.ncol
+    cz = cl.cz
+    czp = cl.czp
+    mx, my = cl.mx, cl.my
+    pk_meta = cl.pk_meta
+    if pk_meta.shape[0] % 8:
+        pk_meta = jnp.pad(pk_meta, ((0, -pk_meta.shape[0] % 8), (0, 0)))
+    MW = pk_meta.shape[1]
+    npg = cl.npage
+
+    def win_spec(s):
+        dx, dy = s // 3 - 1, s % 3 - 1
+
+        def im(p):
+            i32 = jnp.int32
+            cx = p // i32(my)
+            cy = p - cx * i32(my)
+            col = (jax.lax.rem(cx + i32(dx + mx), i32(mx)) * i32(my)
+                   + jax.lax.rem(cy + i32(dy + my), i32(my)))
+            return (col, 0, 0)
+        return pl.BlockSpec((1, 8, czp), im, memory_space=pltpu.VMEM)
+
+    out_specs = [
+        pl.BlockSpec((cz, 8), lambda p: (p, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((cl.n_slots, 8), dtype)]
+    if observe:
+        out_specs.append(
+            pl.BlockSpec((8, 8), lambda p: (p, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((ncol * 8, 8), dtype))
+
+    return pl.pallas_call(
+        kern,
+        grid=(ncol,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, MW), lambda p: (p // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cz, 8), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            *[win_spec(s) for s in range(NSTEN)],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((NSTEN * npg * CL, W), dtype)],
+        interpret=interpret,
+    )(scal, pk_meta, ipack, *([cols] * NSTEN))
+
+
+_SPAN_POISON = 1.0e17      # == colpack._PAD_POISON: unfilled packed lanes
+
+
+def _colspan_pages(wins, pbuf, mx, my, czp, S, npg, Lx, Ly):
+    """Stage overlapped z-pages of the 9 stencil-column attribute buffers
+    into VMEM scratch ``pbuf`` (page a of window s at rows (s*npg+a)*8
+    covers column slots [a*S, a*S+128)), with the xy periodic image shift
+    applied — once per COLUMN, amortized over all its clusters.  The shift
+    follows from pure arithmetic on the grid position
+    (colpack._stencil_shifts semantics); for non-periodic virtual boxes the
+    out-of-range windows carry L=0 span codes, so their (wrapped,
+    wrong-image) content is never selected."""
+    i32 = jnp.int32
+    p = i32(pl.program_id(0))
+    cx = p // i32(my)
+    cy = p - cx * i32(my)
+    rowio = jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0)
+    for s in range(NSTEN):
+        dx, dy = s // 3 - 1, s % 3 - 1
+        sx = ((cx + i32(dx + mx)) // i32(mx) - 1).astype(jnp.float32)
+        sy = ((cy + i32(dy + my)) // i32(my) - 1).astype(jnp.float32)
+        sv = jnp.where(rowio == 0, sx * Lx,
+                       jnp.where(rowio == 1, sy * Ly, 0.0))
+        w = wins[s][0] + sv
+        for a in range(npg):
+            pbuf[(s * npg + a) * CL:(s * npg + a + 1) * CL, :] = \
+                w[:, a * S:a * S + W]
+
+
+def _colspan_concat(NV, S, npg, codes, pbuf):
+    """Roll-concat one cluster's nine column spans into NV dense packed
+    (8 attr, 128) candidate vregs (returned as VALUES — no scratch
+    read-modify-write on the hot path).
+
+    Per stencil window s the rebuild-time code z0|L<<12|d<<20
+    (colpack.build) gives the span [z0, z0+L) in column slots and its
+    packed destination lane d.  The span lies inside staged page
+    a = z0//S (the spec's span-fits-page-budget guarantee); ONE
+    single-vreg dynamic lane roll (pltpu.roll — near-FMA cost on this
+    hardware; multi-vreg dynamic rolls are ~90x slower, measured
+    2026-08-21) aligns it CIRCULARLY at lane d%128, and the two iota-mask
+    selects place the unwrapped head and the wrapped tail into the <= 2
+    destination vregs.  Unwritten lanes keep the poison init so rsq
+    overflows every cutoff."""
+    i32 = jnp.int32
+    io = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    rolled, dd, ll = [], [], []
+    for s in range(NSTEN):
+        code = codes[s]
+        z0 = jax.lax.rem(code, i32(4096))
+        Ls = jax.lax.rem(code // i32(4096), i32(256))
+        d = code // i32(1048576)
+        a = jnp.minimum(z0 // i32(S), i32(npg - 1))
+        o = z0 - a * i32(S)
+        page = pbuf[pl.ds((i32(s * npg) + a) * i32(CL), CL), :]
+        sh = jax.lax.rem(d - o + i32(4 * W), i32(W))
+        rolled.append(pltpu.roll(page, sh, 1))
+        dd.append(d)
+        ll.append(Ls)
+    accs = []
+    for v in range(NV):
+        acc = jnp.full((CL, W), _SPAN_POISON, jnp.float32)
+        for s in range(NSTEN):
+            # destination lanes [d, d+L) ∩ this vreg: because the roll is
+            # circular mod 128, both the head and any vreg-boundary-wrapped
+            # tail sit at exactly lanes (j mod 128) of the ONE rolled vreg
+            # — a single masked select per (v, s) places either part
+            lo = dd[s] - i32(v * W)
+            m = (io >= lo) & (io < lo + ll[s])
+            acc = jnp.where(m, rolled[s], acc)
+        accs.append(acc)
+    return accs
+
+
+def _kernel_colspan(ce, degree, NV, observe, style, mf, classes,
+                    dform, want_scores, dstat, mx, my, cz, czp, S, npg,
+                    *refs0):
+    """Column-resident packed-candidate pair kernel (the VERDICT r4 #1
+    compaction).  One grid program per COLUMN: the nine stencil-column
+    attribute buffers arrive as pipelined (1, 8, czp) blocks (arithmetic
+    index maps — no per-program DMA scaffolding at all; the window kernel's
+    measured ~44 ns/atom DMA issue cost amortizes over the column's ~50
+    clusters), and a fori_loop walks the column's 8-slot clusters: each
+    roll-concats its nine true spans into NV dense packed vregs
+    (:func:`_colspan_concat`) and runs the shared per-tile physics
+    (:func:`_phys_tile`) on them.  Packed lanes/atom at the 262k flagship:
+    ~390+ceil vs the window kernel's fixed 1152 — ~2.5-3x less VPU work —
+    and the overlapped z-pages array disappears entirely (colpack.pack
+    returns the plain (ncol, 8, czp) column array)."""
+    scal_ref, pkm_ref, ipack_ref, *rest = refs0
+    wins = rest[:NSTEN]
+    rest = rest[NSTEN:]
+    if observe:
+        out_ref, out2_ref, pbuf = rest
+    else:
+        out_ref, pbuf = rest
+        out2_ref = None
+
+    sc = {"cutsq": scal_ref[0, 2], "innersq": scal_ref[0, 3],
+          "uscale": scal_ref[0, 4], "uoff": scal_ref[0, 5],
+          "kT": scal_ref[0, 6]}
+    _colspan_pages(wins, pbuf, mx, my, czp, S, npg,
+                   scal_ref[0, 0], scal_ref[0, 1])
+    want_eac = want_scores or observe or style != "ucgld"
+    i32 = jnp.int32
+    mrow = jax.lax.rem(i32(pl.program_id(0)), i32(8))
+    cpc = cz // CL
+
+    def body(b, carry):
+        codes = [pkm_ref[mrow, b * NSTEN + s] for s in range(NSTEN)]
+        accs = _colspan_concat(NV, S, npg, codes, pbuf)
+        off = b * i32(CL)
+        itile = ipack_ref[pl.ds(off, CL), :]
+        iv = _iv_of(itile, style, classes, observe)
+        tal = _tal_init(style, want_scores, observe, (CL, W))
+        for v in range(NV):
+            def jr_v(a, _r=accs[v]):
+                return _r[a:a + 1, :]
+
+            tal = _phys_tile(ce, degree, style, mf, classes, dform,
+                             want_scores, want_eac, observe, dstat,
+                             sc, iv, jr_v, tal)
+        out_ref[pl.ds(off, CL), :] = _tal_tile(tal, style, want_scores)
+        if not observe:
+            return carry
+        pe_t, vir_t, oob_t = carry
+        pr = jnp.sum(tal["pe"], axis=1, keepdims=True)
+        vr = [jnp.sum(tal["vir"][k], axis=1, keepdims=True)
+              for k in range(6)]
+        orr = jnp.sum(tal["oob"], axis=1, keepdims=True)
+        return (pe_t + pr, [vir_t[k] + vr[k] for k in range(6)],
+                oob_t + orr)
+
+    # full unroll: the per-cluster scalar chains (SMEM code reads, page
+    # addresses, roll shifts) are latency-bound inside a rolled loop —
+    # unrolling lets Mosaic overlap them across clusters (measured -29%
+    # at 262k, 2026-08-21)
+    z81 = jnp.zeros((CL, 1), jnp.float32)
+    carry = (z81, [z81] * 6, z81) if observe else 0
+    for b in range(cpc):
+        carry = body(i32(b), carry)
+
+    if observe:
+        pe_t, vir_t, oob_t = carry
+        row = jnp.concatenate(
+            [jnp.sum(pe_t)[None]] + [jnp.sum(v)[None] for v in vir_t]
+            + [jnp.sum(oob_t)[None]])[None, :]
+        out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
+
+
 def _kernel_cv(G, observe, mode, dstat, pipelined, *refs0):
     """Geometry-only window kernels for the density styles (P3): no tables,
     no state mixing — same window/DMA scaffolding as :func:`_kernel`.
@@ -624,103 +823,27 @@ def _kernel_cv(G, observe, mode, dstat, pipelined, *refs0):
 
     rads, gform = dstat
 
-    def rad_of(tv):
-        if len(rads) == 1:
-            return rads[0][1]
-        acc = None
-        for (t, r) in rads:
-            m = (tv == float(t)).astype(jnp.float32) * r
-            acc = m if acc is None else acc + m
-        return acc
-
-    xi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 0:1] for b in range(G)]
-    yi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 1:2] for b in range(G)]
-    zi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 2:3] for b in range(G)]
-    if len(rads) > 1:
-        ri_b = [rad_of(ipack_ref[slice(b * CL, (b + 1) * CL), 7:8])
-                for b in range(G)]
-    else:
-        ri_b = [rads[0][1] for _ in range(G)]
-    if mode == "cv":
-        ci_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 6:7]
-                for b in range(G)]
-    if observe:
-        vi_b = [ipack_ref[slice(b * CL, (b + 1) * CL), 5:6]
-                for b in range(G)]
-
-    def zeros_b():
-        return [jnp.zeros((CL, W), jnp.float32) for _ in range(G)]
-
-    a0_b, a1_b, a2_b = zeros_b(), zeros_b(), zeros_b()
-    if observe and mode == "cv":
-        vir_b = [[jnp.zeros((CL, W), jnp.float32) for _ in range(6)]
-                 for _ in range(G)]
+    iv_b = [_iv_cv_of(ipack_ref[b * CL:(b + 1) * CL, :], mode, rads,
+                      observe) for b in range(G)]
+    tal_b = [_tal_cv_init(mode, observe, (CL, W)) for _ in range(G)]
 
     for s in range(NSTEN):
-        xj = jwin[slot, s, 0:1, :]
-        yj = jwin[slot, s, 1:2, :]
-        zj = jwin[slot, s, 2:3, :]
-        if mode == "cv":
-            cj = jwin[slot, s, 3:4, :]
-            rj = (rad_of(jwin[slot, s, 7:8, :]) if len(rads) > 1
-                  else rads[0][1])
-        if observe:
-            vjr = jwin[slot, s, 5:6, :]
+        def jr_s(a, _s=s):
+            return jwin[slot, _s, a:a + 1, :]
 
         for b in range(G):
-            dx = xi_b[b] - xj
-            dy = yi_b[b] - yj
-            dz = zi_b[b] - zj
-            rsq = dx * dx + dy * dy + dz * dz
-            mask = (rsq < cutsq) & (rsq > 0.0)
-            if observe:
-                mask = mask & (vjr > 0.5) & (vi_b[b] > 0.5)
-            r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
-            ri = ri_b[b]
-            zero = jnp.zeros_like(r)
-
-            if mode == "rho":
-                t = jnp.tanh((r - ri) / (0.1 * ri))
-                a0_b[b] = a0_b[b] + jnp.where(mask, 0.5 * (1.0 - t), zero)
-                a1_b[b] = a1_b[b] + jnp.where(mask, 1.0, 0.0)
-            else:
-                ti = jnp.tanh((r - ri) / (0.1 * ri))
-                tj = (ti if len(rads) == 1
-                      else jnp.tanh((r - rj) / (0.1 * rj)))
-                if gform in ("mder", "pder"):
-                    sgn = -0.5 if gform == "mder" else 0.5
-                    gi = sgn * (1.0 - ti * ti) / (0.1 * ri)
-                    gj = sgn * (1.0 - tj * tj) / (0.1 * (rj if len(rads) > 1
-                                                         else ri))
-                else:
-                    gi = 0.5 * (1.0 - ti)
-                    gj = 0.5 * (1.0 - tj)
-                fcv = jnp.where(mask, (ci_b[b] * gi + cj * gj) / r, zero)
-                a0_b[b] = a0_b[b] + fcv * dx
-                a1_b[b] = a1_b[b] + fcv * dy
-                a2_b[b] = a2_b[b] + fcv * dz
-                if observe:
-                    vir = vir_b[b]
-                    vir[0] = vir[0] + fcv * dx * dx
-                    vir[1] = vir[1] + fcv * dy * dy
-                    vir[2] = vir[2] + fcv * dz * dz
-                    vir[3] = vir[3] + fcv * dx * dy
-                    vir[4] = vir[4] + fcv * dx * dz
-                    vir[5] = vir[5] + fcv * dy * dz
+            tal_b[b] = _phys_cv_tile(mode, rads, gform, observe, cutsq,
+                                     iv_b[b], jr_s, tal_b[b])
 
     for b in range(G):
-        sl = slice(b * CL, (b + 1) * CL)
-        out_ref[sl, 0:1] = jnp.sum(a0_b[b], axis=1, keepdims=True)
-        out_ref[sl, 1:2] = jnp.sum(a1_b[b], axis=1, keepdims=True)
-        out_ref[sl, 2:3] = jnp.sum(a2_b[b], axis=1, keepdims=True)
-        out_ref[sl, 3:8] = jnp.zeros((CL, 5), jnp.float32)
+        out_ref[b * CL:(b + 1) * CL, :] = _tal_cv_tile(tal_b[b])
 
     if observe:
         if mode == "cv":
             vir_t = [jnp.zeros((), jnp.float32) for _ in range(6)]
             for b in range(G):
                 for v in range(6):
-                    vir_t[v] = vir_t[v] + jnp.sum(vir_b[b][v])
+                    vir_t[v] = vir_t[v] + jnp.sum(tal_b[b]["vir"][v])
             row = jnp.concatenate(
                 [jnp.zeros((1,), jnp.float32)]
                 + [v[None] for v in vir_t]
@@ -730,9 +853,159 @@ def _kernel_cv(G, observe, mode, dstat, pipelined, *refs0):
         out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
 
 
+def _rad_of(rads, tv):
+    if len(rads) == 1:
+        return rads[0][1]
+    acc = None
+    for (t, r) in rads:
+        m = (tv == float(t)).astype(jnp.float32) * r
+        acc = m if acc is None else acc + m
+    return acc
+
+
+def _iv_cv_of(itile, mode, rads, observe):
+    iv = {"xi": itile[:, 0:1], "yi": itile[:, 1:2], "zi": itile[:, 2:3]}
+    iv["ri"] = (_rad_of(rads, itile[:, 7:8]) if len(rads) > 1
+                else rads[0][1])
+    if mode == "cv":
+        iv["ci"] = itile[:, 6:7]
+    if observe:
+        iv["vi"] = itile[:, 5:6]
+    return iv
+
+
+def _tal_cv_init(mode, observe, shape):
+    z = lambda: jnp.zeros(shape, jnp.float32)  # noqa: E731
+    tal = {"a0": z(), "a1": z(), "a2": z()}
+    if observe and mode == "cv":
+        tal["vir"] = [z() for _ in range(6)]
+    return tal
+
+
+def _tal_cv_tile(tal):
+    red = lambda a: jnp.sum(a, axis=1, keepdims=True)  # noqa: E731
+    return jnp.concatenate(
+        [red(tal["a0"]), red(tal["a1"]), red(tal["a2"]),
+         jnp.zeros((CL, 5), jnp.float32)], axis=1)
+
+
+def _phys_cv_tile(mode, rads, gform, observe, cutsq, iv, jr, tal):
+    """Per-tile geometry physics for the density styles (see
+    :func:`_kernel_cv` for the physics contract), shared by the window and
+    span kernels."""
+    xj, yj, zj = jr(0), jr(1), jr(2)
+    if mode == "cv":
+        cj = jr(3)
+        rj = _rad_of(rads, jr(7)) if len(rads) > 1 else rads[0][1]
+    if observe:
+        vjr = jr(5)
+
+    dx = iv["xi"] - xj
+    dy = iv["yi"] - yj
+    dz = iv["zi"] - zj
+    rsq = dx * dx + dy * dy + dz * dz
+    mask = (rsq < cutsq) & (rsq > 0.0)
+    if observe:
+        mask = mask & (vjr > 0.5) & (iv["vi"] > 0.5)
+    r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+    ri = iv["ri"]
+    zero = jnp.zeros_like(r)
+
+    if mode == "rho":
+        t = jnp.tanh((r - ri) / (0.1 * ri))
+        tal["a0"] = tal["a0"] + jnp.where(mask, 0.5 * (1.0 - t), zero)
+        tal["a1"] = tal["a1"] + jnp.where(mask, 1.0, 0.0)
+    else:
+        ti = jnp.tanh((r - ri) / (0.1 * ri))
+        tj = (ti if len(rads) == 1 else jnp.tanh((r - rj) / (0.1 * rj)))
+        if gform in ("mder", "pder"):
+            sgn = -0.5 if gform == "mder" else 0.5
+            gi = sgn * (1.0 - ti * ti) / (0.1 * ri)
+            gj = sgn * (1.0 - tj * tj) / (0.1 * (rj if len(rads) > 1
+                                                 else ri))
+        else:
+            gi = 0.5 * (1.0 - ti)
+            gj = 0.5 * (1.0 - tj)
+        fcv = jnp.where(mask, (iv["ci"] * gi + cj * gj) / r, zero)
+        tal["a0"] = tal["a0"] + fcv * dx
+        tal["a1"] = tal["a1"] + fcv * dy
+        tal["a2"] = tal["a2"] + fcv * dz
+        if observe:
+            vir = tal["vir"]
+            vir[0] = vir[0] + fcv * dx * dx
+            vir[1] = vir[1] + fcv * dy * dy
+            vir[2] = vir[2] + fcv * dz * dz
+            vir[3] = vir[3] + fcv * dx * dy
+            vir[4] = vir[4] + fcv * dx * dz
+            vir[5] = vir[5] + fcv * dy * dz
+    return tal
+
+
+def _kernel_cv_colspan(NV, observe, mode, dstat, mx, my, cz, czp, S, npg,
+                       *refs0):
+    """Column-resident span variant of :func:`_kernel_cv` — same
+    scaffolding as :func:`_kernel_colspan`."""
+    scal_ref, pkm_ref, ipack_ref, *rest = refs0
+    wins = rest[:NSTEN]
+    rest = rest[NSTEN:]
+    if observe:
+        out_ref, out2_ref, pbuf = rest
+    else:
+        out_ref, pbuf = rest
+        out2_ref = None
+
+    cutsq = scal_ref[0, 2]
+    _colspan_pages(wins, pbuf, mx, my, czp, S, npg,
+                   scal_ref[0, 0], scal_ref[0, 1])
+    rads, gform = dstat
+    i32 = jnp.int32
+    mrow = jax.lax.rem(i32(pl.program_id(0)), i32(8))
+    cpc = cz // CL
+
+    def body(b, carry):
+        codes = [pkm_ref[mrow, b * NSTEN + s] for s in range(NSTEN)]
+        accs = _colspan_concat(NV, S, npg, codes, pbuf)
+        off = b * i32(CL)
+        itile = ipack_ref[pl.ds(off, CL), :]
+        iv = _iv_cv_of(itile, mode, rads, observe)
+        tal = _tal_cv_init(mode, observe, (CL, W))
+        for v in range(NV):
+            def jr_v(a, _r=accs[v]):
+                return _r[a:a + 1, :]
+
+            tal = _phys_cv_tile(mode, rads, gform, observe, cutsq,
+                                iv, jr_v, tal)
+        out_ref[pl.ds(off, CL), :] = _tal_cv_tile(tal)
+        if not (observe and mode == "cv"):
+            return carry
+        return [carry[k] + jnp.sum(tal["vir"][k], axis=1, keepdims=True)
+                for k in range(6)]
+
+    z81 = jnp.zeros((CL, 1), jnp.float32)
+    carry = [z81] * 6 if (observe and mode == "cv") else 0
+    for b in range(cpc):                      # full unroll (see _kernel_colspan)
+        carry = body(i32(b), carry)
+
+    if observe:
+        if mode == "cv":
+            row = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32)]
+                + [jnp.sum(v)[None] for v in carry]
+                + [jnp.zeros((1,), jnp.float32)])[None, :]
+        else:
+            row = jnp.zeros((1, 8), jnp.float32)
+        out2_ref[:, :] = jnp.broadcast_to(row, (8, 8))
+
+
 def _run_kernel_cv(cl: colpack.ColumnList, scal, ipack, pages,
                    observe: bool, mode: str, dstat, interpret):
     interpret = _auto_interpret(interpret)
+    if cl.NV > 0:
+        kern = functools.partial(_kernel_cv_colspan, cl.NV, observe, mode,
+                                 dstat, cl.mx, cl.my, cl.cz, cl.czp, cl.S,
+                                 cl.npage)
+        return _call_colspan(kern, cl, scal, ipack, pages, observe,
+                             interpret)
     kern = functools.partial(_kernel_cv, cl.G, observe, mode, dstat,
                              not interpret)
     return _call_windows(kern, cl, scal, ipack, pages, observe, interpret)
@@ -772,6 +1045,13 @@ def _run_kernel(cl: colpack.ColumnList, scal, ipack, pages, cheb: ChebBank,
         ce = [[float(c) for c in r] for r in rows]
     else:
         ce = [[float(c) for c in row] for row in ce_np]
+    if cl.NV > 0:
+        kern = functools.partial(_kernel_colspan, ce, cheb.degree, cl.NV,
+                                 observe, style, mf, classes, dform,
+                                 want_scores, dstat, cl.mx, cl.my, cl.cz,
+                                 cl.czp, cl.S, cl.npage)
+        return _call_colspan(kern, cl, scal, ipack, pages, observe,
+                             interpret)
     kern = functools.partial(_kernel, ce, cheb.degree, G, observe, style,
                              mf, classes, dform, want_scores, dstat,
                              not interpret)

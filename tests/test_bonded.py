@@ -63,6 +63,7 @@ def test_bond_force_is_minus_grad_energy(rng):
     assert float(pe) > 0.0
 
 
+@pytest.mark.quick
 def test_bond_force_analytic():
     """Two atoms at r = 1.2 with K=3, r0=1.0: |F| = 2*K*(r-r0) toward r0."""
     state = SimState.create(
@@ -79,6 +80,7 @@ def test_bond_force_analytic():
                                [-2 * 3.0 * 0.2, 0, 0], atol=1e-12)
 
 
+@pytest.mark.quick
 def test_angle_energy_analytic():
     """Right-angle trimer with theta0 = 90 deg has zero energy and force;
     theta0 = 120 deg gives E = K (pi/6)^2."""
@@ -343,6 +345,7 @@ def test_respa_honors_group_masks(tmp_path):
         rr.run_string("run_style respa 2 0 bond 1 pair 2")
 
 
+@pytest.mark.quick
 def test_group_union_and_stride(tmp_path):
     """Repeated group commands accumulate (LAMMPS additive semantics) and
     i:j:stride ranges honor the stride."""
@@ -396,6 +399,7 @@ def test_dihedral_energy_analytic(phi, expect_of_k):
     np.testing.assert_allclose(np.asarray(f).sum(0), 0.0, atol=1e-10)
 
 
+@pytest.mark.quick
 def test_dihedral_multiplicity_and_sign():
     """E = K[1 + d cos(n phi)]: n = 2 doubles the angle, d = -1 flips."""
     state = _state_of(_butane_frame(90.0))
@@ -412,6 +416,7 @@ def test_dihedral_multiplicity_and_sign():
                                atol=1e-10)                    # = 3
 
 
+@pytest.mark.quick
 def test_improper_energy_analytic():
     """Planar frame: chi = 0 -> E = 0 and zero force at chi0 = 0; the
     chi0 = 30 deg case gives E = K(pi/2 - pi/6)^2 at chi = 90."""

@@ -8,6 +8,7 @@ import numpy as np
 from lammps_ucg_dev_tpu.core.state import Box, SimState
 from lammps_ucg_dev_tpu.fixes import cluster_switch as cs
 from lammps_ucg_dev_tpu.ops import neighbor as nb
+import pytest
 
 ON, OFF = 1, 2
 
@@ -42,6 +43,7 @@ def test_cluster_labeling_chain():
     np.testing.assert_array_equal(np.asarray(mol_state)[1:6], [1, 1, 1, 0, 1])
 
 
+@pytest.mark.quick
 def test_switch_locks_cluster_and_flips_rest():
     pos = [[0, 0, 0], [1, 0, 0], [2, 0, 0], [10, 0, 0], [20, 0, 0]]
     types = [ON, ON, ON, OFF, ON]
@@ -93,6 +95,7 @@ def test_offset_partner_linking():
     assert not inc[8]               # unrelated switchable mol
 
 
+@pytest.mark.quick
 def test_pbc_contact():
     L = 20.0
     pos = [[0.2, 0, 0], [L - 0.2, 0, 0], [10, 0, 0]]
@@ -173,6 +176,7 @@ def test_cluster_switch_in_simulation(rng, tmp_path):
     assert set(np.asarray(sim.state.typ).tolist()).issubset({1, 2})
 
 
+@pytest.mark.slow
 def test_cluster_switch_composes_with_column_kernel(rng):
     """Single-chip fix cluster_switch + the fused column kernel (the
     config-4 composition): the event builds its own right-sized contact

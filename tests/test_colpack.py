@@ -71,6 +71,7 @@ def test_coverage_boundary_heavy(rng):
     assert_exact_coverage(xn, L, n)
 
 
+@pytest.mark.quick
 def test_overflow_flag_on_undersized_windows(rng):
     """Force a too-small page budget: spans must be flagged, not silently
     dropped."""
@@ -90,6 +91,7 @@ def test_small_box_rejected():
         colpack.measure_spec(np.zeros((4, 3)), [20.0, 20.0, 5.0], RC, SKIN)
 
 
+@pytest.mark.quick
 def test_pack_shapes_and_ipack_validity(rng):
     n, L = 768, 12.5
     xn = np.asarray(helpers.random_fluid(rng, n, L, min_sep=0.8))
@@ -101,7 +103,11 @@ def test_pack_shapes_and_ipack_validity(rng):
     st = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
     ipack, pages = colpack.pack(cl, box, x, lam, st)
     assert ipack.shape == (cl.n_slots, 8)
-    assert pages.shape == (cl.npage, cl.ncol, 8, colpack.W)
+    if cl.NV > 0:
+        # span (column-resident) kernel path: plain attr-major columns
+        assert pages.shape == (cl.ncol, 8, cl.czp)
+    else:
+        assert pages.shape == (cl.npage, cl.ncol, 8, colpack.W)
     # exactly n real i-slots
     assert int(jnp.sum(ipack[:, 5] > 0.5)) == n
     # every atom's row round-trips through its slot

@@ -104,6 +104,7 @@ rerun traj.lammpstrj dump x y z ucgl
     np.testing.assert_array_equal(out[-1].fields["ucgstate"], np.round(p))
 
 
+@pytest.mark.quick
 def test_bethe_deck_runs(tmp_path):
     from make_deck import write_bethe_deck
 
@@ -132,6 +133,7 @@ def test_bethe_density_deck_runs(tmp_path):
     assert np.asarray(r.sim.cswitch_stats.v)[0] > 0
 
 
+@pytest.mark.quick
 def test_rleucg_deck_runs(tmp_path):
     from make_deck import write_rleucg_deck
 
@@ -262,6 +264,7 @@ def test_restart_persists_settings_and_masses(tmp_path):
 
 @pytest.mark.parametrize("procs,kind", [("3 1 1", "slab"),
                                         ("3 3 1", "pencil")])
+@pytest.mark.slow
 def test_processors_command_multichip_deck(tmp_path, procs, kind):
     """The LAMMPS ``processors Px Py Pz`` command maps onto the TPU device
     mesh: the SAME deck runs single-device, on Px slabs, and on a Px x Py
@@ -292,6 +295,7 @@ def test_processors_command_multichip_deck(tmp_path, procs, kind):
                                np.asarray(r1.state.v)[o1], atol=1e-10)
 
 
+@pytest.mark.quick
 def test_processors_command_validation(tmp_path):
     deck = write_ucgld_deck(str(tmp_path), n=64, nsteps=0)
     r = ScriptRunner(workdir=str(tmp_path), dtype=jnp.float64,
@@ -302,6 +306,7 @@ def test_processors_command_validation(tmp_path):
         r.command("processors 99 9 1")
 
 
+@pytest.mark.slow
 def test_processors_infeasible_geometry_falls_back_to_gspmd(tmp_path):
     """A ``processors`` deck whose box is too small for the requested cut
     count (4 slabs of width >= cutoff+skin don't fit 48 molecules): the
@@ -325,6 +330,7 @@ def test_processors_infeasible_geometry_falls_back_to_gspmd(tmp_path):
             np.testing.assert_allclose(b[k], a[k], rtol=1e-12, err_msg=k)
 
 
+@pytest.mark.slow
 def test_processors_bonded_deck_uses_spatial(tmp_path):
     """A bonded/exclusion molecular deck with ``processors`` rides the
     SPATIAL slab driver (replicated topology + per-block tag→row maps):
@@ -349,6 +355,7 @@ def test_processors_bonded_deck_uses_spatial(tmp_path):
             np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)
 
 
+@pytest.mark.slow
 def test_tetramer_deck_full_topology(tmp_path):
     """Deck with all four bonded term classes (bonds/angles/dihedrals/
     impropers) + 1-2/1-3/1-4 exclusions runs healthily single-chip, and the
@@ -377,6 +384,7 @@ def test_tetramer_deck_full_topology(tmp_path):
             np.testing.assert_allclose(b[k], a[k], rtol=1e-9, err_msg=k)
 
 
+@pytest.mark.slow
 def test_respa_deck_rides_spatial(tmp_path):
     """A bonded molecular deck under run_style respa WITH ``processors``
     now rides the spatial slab driver (respa bodies run per device with

@@ -8,6 +8,9 @@ from lammps_ucg_dev_tpu.core.state import Box, SimState, System
 from lammps_ucg_dev_tpu.io import data as dio
 from lammps_ucg_dev_tpu.io import dump as dmp
 from lammps_ucg_dev_tpu.io import restart as rst
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _state(rng, n=20, L=10.0):

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from lammps_ucg_dev_tpu.core.state import Box
 from lammps_ucg_dev_tpu.ops import neighbor as nb
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 import helpers
 from lammps_ucg_dev_tpu.core.state import Box, SimState, System
 from lammps_ucg_dev_tpu.fixes import integrate as fi

@@ -123,6 +123,7 @@ def test_p4_compat_flags_change_answer(rng):
     assert not np.allclose(np.asarray(f0), np.asarray(f1))
 
 
+@pytest.mark.quick
 def test_p4_substate_probs_multistate():
     """3-state actual type: explicit p0 from threshold, middle state 0,
     last implicit."""
@@ -262,6 +263,7 @@ def test_p3_posterior_and_scores(rng):
     np.testing.assert_allclose(p[~is_ucg], 1.0)
 
 
+@pytest.mark.quick
 def test_p3_backforce_compat_flag(rng):
     st, bank, tp = _p3_build(P3_SETTINGS)
     n, L = 30, 6.5

@@ -15,6 +15,9 @@ from lammps_ucg_dev_tpu.models.typemap import TablePairBuilder
 from lammps_ucg_dev_tpu.ops import neighbor as nb
 from lammps_ucg_dev_tpu.runtime.sim import SimConfig, Simulation
 from lammps_ucg_dev_tpu.io.state_settings import parse_state_settings
+import pytest
+
+pytestmark = pytest.mark.quick
 
 KT = 0.8
 

@@ -31,6 +31,7 @@ KT = 0.8
 # stable Bethe log-ratio (VERDICT r3 item 5)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.quick
 def test_bethe_log_ratio_matches_naive_where_conditioned(rng):
     n = 50000
     pi = rng.uniform(1e-5, 1 - 1e-5, n)
@@ -66,6 +67,7 @@ def test_bethe_log_ratio_f32_close_to_f64(rng):
     assert rel.max() < 1e-3
 
 
+@pytest.mark.quick
 def test_bethe_log_ratio_mf_limit(rng):
     # J -> 0 reduces exactly to the mean-field ratio pi/(1-pi)
     pi = rng.uniform(0.01, 0.99, 100)

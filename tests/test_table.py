@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from lammps_ucg_dev_tpu.io import table_io
 from lammps_ucg_dev_tpu.ops import table as tbl
 from lammps_ucg_dev_tpu.ops.spline import spline, splint

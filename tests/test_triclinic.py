@@ -32,6 +32,7 @@ def _brute_min_image(dr, H):
     return cand[np.arange(len(dr)), pick]
 
 
+@pytest.mark.quick
 def test_min_image_matches_27_image_search(rng):
     box = _tilted_box()
     H = _h(box)
@@ -47,6 +48,7 @@ def test_min_image_matches_27_image_search(rng):
     np.testing.assert_allclose(r_got[close], r_want[close], atol=1e-12)
 
 
+@pytest.mark.quick
 def test_wrap_roundtrip_and_fractional_range(rng):
     box = _tilted_box()
     H = _h(box)
@@ -111,6 +113,7 @@ def test_triclinic_pair_forces_match_explicit_images(rng):
     np.testing.assert_allclose(float(out.pe), pe_ref, rtol=1e-9)
 
 
+@pytest.mark.quick
 def test_cell_list_rejects_triclinic(rng):
     box = _tilted_box()
     spec = nb.make_spec(512, [9.0] * 3, 2.5, 0.4, method="cell")
@@ -118,6 +121,7 @@ def test_cell_list_rejects_triclinic(rng):
         nb.build(jnp.zeros((512, 3), jnp.float64), box, spec)
 
 
+@pytest.mark.quick
 def test_data_file_tilt_roundtrip(tmp_path, rng):
     from lammps_ucg_dev_tpu.io import data as dio
     from lammps_ucg_dev_tpu.core.state import System
