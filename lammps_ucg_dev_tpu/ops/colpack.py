@@ -271,13 +271,14 @@ def _span_mode() -> bool:
     return os.environ.get("UCG_KERNEL_SPAN", "1") != "0"
 
 
-def _nv_of(max_cluster_sum: float, margin: float = 8.0) -> int:
+def _nv_of(max_cluster_sum: float, margin: float = 56.0) -> int:
     """Packed vregs per cluster from the worst per-cluster span sum: the
     span concat packs all 9 stencil spans of one 8-slot i-cluster into
-    NV·128 lanes.  Span sums are computed fresh at every rebuild (no drift
-    margin needed — the skin already covers motion between rebuilds); the
-    runtime overflow flag is the backstop for later rebuilds of a drifted
-    configuration."""
+    NV·128 lanes.  Span codes are re-derived exactly at every rebuild, but
+    the SPEC's NV is sized from the setup configuration — the margin
+    covers density-fluctuation drift of the worst cluster across the run
+    (measured ~±40 at 16k-262k); the runtime overflow flag is the
+    backstop."""
     nv = int(-(-(max_cluster_sum + margin) // W))
     return 0 if nv > _NV_MAX else max(nv, 1)
 
